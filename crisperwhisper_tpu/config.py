@@ -1,0 +1,197 @@
+"""Configuration tree for the TPU-native CrisperWhisper framework.
+
+Mirrors the three config layers of the reference system (SURVEY.md §5.6):
+  1. the serialized model/checkpoint config  -> :class:`WhisperArch`
+  2. the generation config                   -> :class:`GenerationOptions`
+  3. pipeline/CLI kwargs                     -> :class:`PipelineOptions`
+
+Field semantics follow the reference checkpoint contract
+(ref: hf transformers models/whisper/configuration_whisper.py) but the
+representation is our own: frozen dataclasses, static-shape-friendly, with
+everything the jitted decode loop needs resolvable at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+@dataclass(frozen=True)
+class WhisperArch:
+    """Architecture hyperparameters of a Whisper-family checkpoint.
+
+    Defaults are the whisper *tiny* geometry; classmethods provide the other
+    family members. ``feature_size`` (number of mel bins) is 80 for <=large-v2
+    and 128 for large-v3 (SURVEY.md §2.9).
+    """
+
+    vocab_size: int = 51865
+    num_mel_bins: int = 80
+    d_model: int = 384
+    encoder_layers: int = 4
+    encoder_attention_heads: int = 6
+    decoder_layers: int = 4
+    decoder_attention_heads: int = 6
+    encoder_ffn_dim: int = 1536
+    decoder_ffn_dim: int = 1536
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    activation: str = "gelu"
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.encoder_attention_heads
+
+    # --- canonical family geometries -------------------------------------
+    @classmethod
+    def tiny(cls, multilingual: bool = False) -> "WhisperArch":
+        return cls(vocab_size=51865 if multilingual else 51864)
+
+    @classmethod
+    def base(cls) -> "WhisperArch":
+        return cls(d_model=512, encoder_layers=6, decoder_layers=6,
+                   encoder_attention_heads=8, decoder_attention_heads=8,
+                   encoder_ffn_dim=2048, decoder_ffn_dim=2048)
+
+    @classmethod
+    def small(cls) -> "WhisperArch":
+        return cls(d_model=768, encoder_layers=12, decoder_layers=12,
+                   encoder_attention_heads=12, decoder_attention_heads=12,
+                   encoder_ffn_dim=3072, decoder_ffn_dim=3072)
+
+    @classmethod
+    def medium(cls) -> "WhisperArch":
+        return cls(d_model=1024, encoder_layers=24, decoder_layers=24,
+                   encoder_attention_heads=16, decoder_attention_heads=16,
+                   encoder_ffn_dim=4096, decoder_ffn_dim=4096)
+
+    @classmethod
+    def large_v2(cls) -> "WhisperArch":
+        return cls(vocab_size=51865, d_model=1280,
+                   encoder_layers=32, decoder_layers=32,
+                   encoder_attention_heads=20, decoder_attention_heads=20,
+                   encoder_ffn_dim=5120, decoder_ffn_dim=5120)
+
+    @classmethod
+    def large_v3(cls) -> "WhisperArch":
+        return cls(vocab_size=51866, num_mel_bins=128, d_model=1280,
+                   encoder_layers=32, decoder_layers=32,
+                   encoder_attention_heads=20, decoder_attention_heads=20,
+                   encoder_ffn_dim=5120, decoder_ffn_dim=5120)
+
+    @classmethod
+    def from_hf_config(cls, d: Mapping[str, Any]) -> "WhisperArch":
+        """Build from a parsed HF ``config.json`` mapping."""
+        keys = {f.name for f in dataclasses.fields(cls)} - {"activation"}
+        kw = {k: d[k] for k in keys if k in d}
+        if "activation_function" in d:
+            kw["activation"] = d["activation_function"]
+        return cls(**kw)
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Log-mel frontend parameters.
+
+    Parity contract: hf models/whisper/feature_extraction_whisper.py:94-106
+    (n_fft=400, hop=160, fmin=0, fmax=8000, slaney mel bank, 30 s windows).
+    """
+
+    feature_size: int = 80          # mel bins; 128 for large-v3
+    sampling_rate: int = 16000
+    n_fft: int = 400
+    hop_length: int = 160
+    chunk_length: int = 30          # seconds
+
+    @property
+    def n_samples(self) -> int:
+        return self.chunk_length * self.sampling_rate          # 480000
+
+    @property
+    def nb_max_frames(self) -> int:
+        return self.n_samples // self.hop_length               # 3000
+
+
+@dataclass(frozen=True)
+class SpecialTokens:
+    """Special-token layout of the (adjusted) Whisper vocabulary.
+
+    Standard Whisper layout per SURVEY.md §2.9; values here are the
+    multilingual-v2 defaults and are overridden from the checkpoint's
+    generation_config / tokenizer files at load time.
+    """
+
+    eot: int = 50257                 # <|endoftext|> = eos/bos/pad
+    sot: int = 50258                 # <|startoftranscript|>
+    translate: int = 50358
+    transcribe: int = 50359
+    sot_prev: int = 50361            # <|startofprev|>
+    no_speech: int = 50362           # <|nospeech|>
+    no_timestamps: int = 50363       # <|notimestamps|>
+    timestamp_begin: int = 50364     # <|0.00|>
+    language_begin: int = 50259      # first language token (<|en|>)
+    num_languages: int = 99
+
+    @property
+    def timestamp_end(self) -> int:
+        # 1501 timestamp tokens <|0.00|>..<|30.00|> at 0.02 s
+        return self.timestamp_begin + 1500
+
+
+@dataclass(frozen=True)
+class GenerationOptions:
+    """Decode-policy configuration (reference: generation_config.json +
+    generate(**kwargs) overrides, hf generation_whisper.py:386-661)."""
+
+    max_new_tokens: int = 444                  # <= max_target_positions - 4
+    num_beams: int = 1
+    temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    compression_ratio_threshold: float | None = 2.4
+    logprob_threshold: float | None = -1.0
+    no_speech_threshold: float | None = 0.6
+    condition_on_prev_tokens: bool = False
+    return_timestamps: bool = True
+    return_token_timestamps: bool = True
+    median_filter_width: int = 7               # app overrides to 3 (ref:app.py:41)
+    alignment_heads: tuple[tuple[int, int], ...] = ()
+    suppress_tokens: tuple[int, ...] = ()
+    begin_suppress_tokens: tuple[int, ...] = ()
+    max_initial_timestamp_index: int = 50      # 1.0 s (hf logits_process.py:1946)
+    language: str | None = None
+    task: str = "transcribe"
+    time_precision: float = 0.02
+    prompt_seed: int = 0
+
+
+@dataclass(frozen=True)
+class PipelineOptions:
+    """Chunked long-form orchestration (ref:transcribe.py:21-31 defaults)."""
+
+    chunk_length_s: float = 30.0
+    stride_length_s: tuple[float, float] | None = None   # default chunk/6 each side
+    batch_size: int = 16
+    return_timestamps: str | bool = "word"
+
+    def strides(self) -> tuple[float, float]:
+        if self.stride_length_s is None:
+            s = self.chunk_length_s / 6.0
+            return (s, s)
+        return tuple(self.stride_length_s)  # type: ignore[return-value]
+
+
+def load_checkpoint_configs(model_dir: str) -> dict[str, Any]:
+    """Read config.json / generation_config.json / preprocessor_config.json
+    from a local checkpoint directory into plain dicts (missing files -> {})."""
+    out: dict[str, Any] = {}
+    for name in ("config", "generation_config", "preprocessor_config"):
+        path = os.path.join(model_dir, name + ".json")
+        if os.path.exists(path):
+            with open(path) as f:
+                out[name] = json.load(f)
+        else:
+            out[name] = {}
+    return out

@@ -1,0 +1,417 @@
+"""Whisper encoder-decoder as pure-functional JAX, TPU-first.
+
+Re-design of the reference model layer (hf transformers
+models/whisper/modeling_whisper.py, cited per-function below) with
+TPU-native structure:
+
+  * params are plain pytrees; per-layer weights are STACKED on a leading
+    layer axis so both encoder and decoder bodies run as `lax.scan` over
+    layers — one traced layer, 32x smaller XLA programs for large-v3.
+  * the decoder step is a single-token incremental function against a
+    preallocated static KV cache (self-attn ring sized max_target_positions;
+    cross-attn K/V computed once from the encoder output, cf.
+    modeling_whisper.py:321-346).
+  * cross-attention probabilities of the *alignment heads only* are an
+    explicit output of the decoder step, selected in-graph by a one-hot
+    (layer, head) projection — never "output all attentions then select on
+    host" as the reference does (generation_whisper.py:257-264).
+
+Numerics parity (golden-tested): Q is scaled by head_dim**-0.5 *before*
+QK^T (modeling_whisper.py:311-316), k_proj has no bias (:282), pre-LN
+blocks, exact (erf) GELU, final layer_norm on both stacks, learned decoder
+positions indexed by past length (:203-208), proj_out weight tied to the
+decoder token embedding (:1168).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WhisperArch
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Primitive blocks
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm computed in f32 regardless of activation dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def dense(x: jax.Array, p: Params) -> jax.Array:
+    """x @ w (+ b). Weights stored [d_in, d_out]."""
+    y = jnp.einsum("...i,io->...o", x, p["w"],
+                   preferred_element_type=x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    # exact erf GELU to match torch.nn.functional.gelu default
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[..., T, d] -> [..., H, T, Dh]"""
+    *lead, t, d = x.shape
+    x = x.reshape(*lead, t, num_heads, d // num_heads)
+    return jnp.swapaxes(x, -3, -2)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """[..., H, T, Dh] -> [..., T, d]"""
+    x = jnp.swapaxes(x, -3, -2)
+    *lead, t, h, dh = x.shape
+    return x.reshape(*lead, t, h * dh)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              mask: jax.Array | None = None,
+              probs_dtype: jnp.dtype = jnp.float32
+              ) -> tuple[jax.Array, jax.Array]:
+    """Scaled dot-product attention over head-split tensors.
+
+    q/k/v: [..., H, Tq/Tk, Dh]. Q pre-scaled by caller (parity with
+    modeling_whisper.py:311-316). Softmax in f32. Returns (out, probs).
+    """
+    logits = jnp.einsum("...hqd,...hkd->...hqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e9))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("...hqk,...hkd->...hqd", probs.astype(v.dtype), v,
+                     preferred_element_type=v.dtype)
+    return out, probs.astype(probs_dtype)
+
+
+def self_attention_block(x: jax.Array, p: Params, num_heads: int,
+                         mask: jax.Array | None = None) -> jax.Array:
+    scale = (x.shape[-1] // num_heads) ** -0.5
+    q = _split_heads(dense(x, p["q"]) * scale, num_heads)
+    k = _split_heads(dense(x, p["k"]), num_heads)
+    v = _split_heads(dense(x, p["v"]), num_heads)
+    out, _ = attention(q, k, v, mask)
+    return dense(_merge_heads(out), p["o"])
+
+
+def mlp_block(x: jax.Array, p: Params) -> jax.Array:
+    return dense(gelu(dense(x, p["fc1"])), p["fc2"])
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Fixed sinusoidal positions (modeling_whisper.py:54)."""
+    log_timescale_increment = math.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment *
+                            np.arange(channels // 2, dtype=np.float64))
+    scaled_time = (np.arange(length, dtype=np.float64)[:, None] *
+                   inv_timescales[None, :])
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)],
+                          axis=1).astype(np.float32)
+
+
+def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array,
+            stride: int) -> jax.Array:
+    """[B, C_in, T] conv with kernel [k, C_in, C_out], SAME-style padding=1."""
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(1, 1)],
+        dimension_numbers=("NCH", "HIO", "NCH"),
+        preferred_element_type=x.dtype)
+    return y + b[None, :, None].astype(y.dtype)
+
+
+def _encoder_layer(x: jax.Array, lp: Params, num_heads: int) -> jax.Array:
+    # pre-LN self-attn + pre-LN MLP (modeling_whisper.py:372-432)
+    x = x + self_attention_block(layer_norm(x, lp["ln1"]), lp["attn"],
+                                 num_heads)
+    x = x + mlp_block(layer_norm(x, lp["ln2"]), lp["mlp"])
+    return x
+
+
+def encode(params: Params, arch: WhisperArch,
+           input_features: jax.Array) -> jax.Array:
+    """[B, n_mels, 3000] log-mel -> [B, 1500, d] encoder states.
+
+    Parity: WhisperEncoder.forward (modeling_whisper.py:632-730) — conv
+    stem with GELUs, unconditional sinusoid add, pre-LN layers, final LN.
+    The encoder requires exactly 3000 input frames (:668-672).
+    """
+    enc = params["encoder"]
+    if input_features.shape[-1] != 2 * arch.max_source_positions:
+        raise ValueError("encoder requires exactly "
+                         f"{2 * arch.max_source_positions} mel frames")
+    x = input_features
+    x = gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], stride=1))
+    x = gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], stride=2))
+    x = jnp.swapaxes(x, -2, -1)                      # [B, 1500, d]
+    x = x + enc["pos"].astype(x.dtype)
+
+    def body(h, lp):
+        return _encoder_layer(h, lp, arch.encoder_attention_heads), None
+
+    x, _ = jax.lax.scan(body, x, enc["layers"])
+    return layer_norm(x, enc["ln_post"])
+
+
+# ---------------------------------------------------------------------------
+# Decoder with static KV cache and in-graph alignment-head capture
+# ---------------------------------------------------------------------------
+
+
+class DecoderCache(NamedTuple):
+    """Static-shape decode state.
+
+    self_k/self_v: [L, B, H, max_target, Dh] — preallocated ring for the
+    causal self-attention (EncoderDecoderCache analog, SURVEY.md §2.3).
+    cross_k/cross_v: [L, B, H, 1500, Dh] — computed once at step 0
+    (modeling_whisper.py:321-346 `is_updated` logic, made structural here).
+    """
+    self_k: jax.Array
+    self_v: jax.Array
+    cross_k: jax.Array
+    cross_v: jax.Array
+
+
+def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
+               dtype: jnp.dtype | None = None) -> DecoderCache:
+    dec = params["decoder"]
+    b = encoder_out.shape[0]
+    h = arch.decoder_attention_heads
+    dh = arch.head_dim
+    dtype = dtype or encoder_out.dtype
+
+    def per_layer_cross(lp):
+        k = _split_heads(dense(encoder_out, lp["cross"]["k"]), h)
+        v = _split_heads(dense(encoder_out, lp["cross"]["v"]), h)
+        return k, v
+
+    cross_k, cross_v = jax.lax.map(per_layer_cross, dec["layers"])
+    shape = (arch.decoder_layers, b, h, arch.max_target_positions, dh)
+    return DecoderCache(
+        self_k=jnp.zeros(shape, dtype),
+        self_v=jnp.zeros(shape, dtype),
+        cross_k=cross_k.astype(dtype),
+        cross_v=cross_v.astype(dtype),
+    )
+
+
+def alignment_selector(arch: WhisperArch,
+                       alignment_heads: tuple[tuple[int, int], ...]
+                       ) -> np.ndarray:
+    """One-hot [L, H, A] projector mapping per-layer per-head cross-attn
+    probabilities to the A selected alignment heads, applied inside the
+    layer scan (replaces host-side selection at generation_whisper.py:263)."""
+    sel = np.zeros((arch.decoder_layers, arch.decoder_attention_heads,
+                    max(len(alignment_heads), 1)), np.float32)
+    for a, (layer, head) in enumerate(alignment_heads):
+        sel[layer, head, a] = 1.0
+    return sel
+
+
+def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
+                position: jax.Array, cache: DecoderCache,
+                align_sel: jax.Array | None = None
+                ) -> tuple[jax.Array, DecoderCache, jax.Array]:
+    """One incremental decoder step.
+
+    Args:
+      tokens: int32 [B] current input token per row.
+      position: scalar int32 — current position (same for all rows; prompts
+        are fed through the same step function).
+      cache: DecoderCache to read/update.
+      align_sel: optional [L, H, A] one-hot alignment-head projector.
+    Returns:
+      (logits [B, vocab] f32, new cache, align_probs [B, A, 1500] f32 —
+       zeros when align_sel is None).
+    """
+    dec = params["decoder"]
+    h = arch.decoder_attention_heads
+    b = tokens.shape[0]
+    dtype = cache.cross_k.dtype
+
+    x = dec["tok_emb"][tokens].astype(dtype)          # [B, d]
+    x = x + dec["pos_emb"][position].astype(dtype)    # learned pos (:203-208)
+    x = x[:, None, :]                                 # [B, 1, d]
+
+    # causal mask over cache positions: attend to <= position
+    pos_ids = jnp.arange(arch.max_target_positions)
+    self_mask = (pos_ids <= position)[None, None, None, :]
+
+    n_align = align_sel.shape[-1] if align_sel is not None else 1
+    scale = arch.head_dim ** -0.5
+
+    def body(carry, layer_in):
+        hidden = carry
+        lp, layer_self_k, layer_self_v, layer_cross_k, layer_cross_v, sel = \
+            layer_in
+        # --- self-attention against the ring cache
+        y = layer_norm(hidden, lp["ln1"])
+        q = _split_heads(dense(y, lp["self"]["q"]) * scale, h)
+        k_new = _split_heads(dense(y, lp["self"]["k"]), h)
+        v_new = _split_heads(dense(y, lp["self"]["v"]), h)
+        k_all = jax.lax.dynamic_update_slice(
+            layer_self_k, k_new.astype(dtype), (0, 0, position, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            layer_self_v, v_new.astype(dtype), (0, 0, position, 0))
+        attn_out, _ = attention(q, k_all, v_all, self_mask)
+        hidden = hidden + dense(_merge_heads(attn_out), lp["self"]["o"])
+        # --- cross-attention against cached encoder K/V
+        y = layer_norm(hidden, lp["ln2"])
+        qc = _split_heads(dense(y, lp["cross"]["q"]) * scale, h)
+        cross_out, cross_probs = attention(qc, layer_cross_k, layer_cross_v)
+        hidden = hidden + dense(_merge_heads(cross_out), lp["cross"]["o"])
+        # in-graph alignment-head selection: [B,H,1,K] x [H,A] -> [B,A,K]
+        aligned = jnp.einsum("bhk,ha->bak", cross_probs[:, :, 0, :], sel,
+                             preferred_element_type=jnp.float32)
+        # --- MLP
+        hidden = hidden + mlp_block(layer_norm(hidden, lp["ln3"]), lp["mlp"])
+        return hidden, (k_all, v_all, aligned)
+
+    sel = (jnp.asarray(align_sel) if align_sel is not None
+           else jnp.zeros((arch.decoder_layers, h, 1), jnp.float32))
+    x, (new_k, new_v, aligned) = jax.lax.scan(
+        body, x,
+        (dec["layers"], cache.self_k, cache.self_v,
+         cache.cross_k, cache.cross_v, sel))
+
+    x = layer_norm(x, dec["ln"])
+    # weight-tied LM head (modeling_whisper.py:1168)
+    logits = jnp.einsum("bd,vd->bv", x[:, 0, :], dec["tok_emb"].astype(dtype),
+                        preferred_element_type=jnp.float32)
+    align_probs = jnp.sum(aligned, axis=0)            # [B, A, 1500]
+    new_cache = cache._replace(self_k=new_k, self_v=new_v)
+    return logits, new_cache, align_probs
+
+
+def decoder_forward(params: Params, arch: WhisperArch,
+                    decoder_input_ids: jax.Array,
+                    encoder_out: jax.Array) -> jax.Array:
+    """Teacher-forced full-sequence decoder: [B, T] ids -> [B, T, vocab].
+
+    Used for parity tests, no-speech capture, and (later) training.
+    """
+    dec = params["decoder"]
+    h = arch.decoder_attention_heads
+    t = decoder_input_ids.shape[-1]
+    dtype = encoder_out.dtype
+    scale = arch.head_dim ** -0.5
+
+    x = dec["tok_emb"][decoder_input_ids].astype(dtype)
+    x = x + dec["pos_emb"][:t].astype(dtype)
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+
+    def body(hidden, lp):
+        y = layer_norm(hidden, lp["ln1"])
+        q = _split_heads(dense(y, lp["self"]["q"]) * scale, h)
+        k = _split_heads(dense(y, lp["self"]["k"]), h)
+        v = _split_heads(dense(y, lp["self"]["v"]), h)
+        out, _ = attention(q, k, v, causal)
+        hidden = hidden + dense(_merge_heads(out), lp["self"]["o"])
+        y = layer_norm(hidden, lp["ln2"])
+        qc = _split_heads(dense(y, lp["cross"]["q"]) * scale, h)
+        kc = _split_heads(dense(encoder_out, lp["cross"]["k"]), h)
+        vc = _split_heads(dense(encoder_out, lp["cross"]["v"]), h)
+        out, _ = attention(qc, kc, vc)
+        hidden = hidden + dense(_merge_heads(out), lp["cross"]["o"])
+        hidden = hidden + mlp_block(layer_norm(hidden, lp["ln3"]), lp["mlp"])
+        return hidden, None
+
+    x, _ = jax.lax.scan(body, x, dec["layers"])
+    x = layer_norm(x, dec["ln"])
+    return jnp.einsum("btd,vd->btv", x, dec["tok_emb"].astype(dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def forward(params: Params, arch: WhisperArch, input_features: jax.Array,
+            decoder_input_ids: jax.Array) -> jax.Array:
+    """Full teacher-forced forward (encoder + decoder) -> logits."""
+    return decoder_forward(params, arch, decoder_input_ids,
+                           encode(params, arch, input_features))
+
+
+# ---------------------------------------------------------------------------
+# Initialization (for tests / from-scratch training)
+# ---------------------------------------------------------------------------
+
+
+def init_params(arch: WhisperArch, key: jax.Array,
+                dtype: jnp.dtype = jnp.float32) -> Params:
+    """Random init mirroring the reference's init distributions
+    (std = config.init_std on dense/conv, sinusoid encoder positions)."""
+    std = 0.02
+    keys = iter(jax.random.split(key, 64))
+
+    def lin(din, dout, bias=True):
+        p = {"w": jax.random.normal(next(keys), (din, dout), dtype) * std}
+        if bias:
+            p["b"] = jnp.zeros((dout,), dtype)
+        return p
+
+    def ln(d):
+        return {"scale": jnp.ones((d,), jnp.float32),
+                "bias": jnp.zeros((d,), jnp.float32)}
+
+    d, dh = arch.d_model, arch.head_dim
+
+    def attn_params(bias_k=False):
+        return {"q": lin(d, d), "k": lin(d, d, bias=bias_k), "v": lin(d, d),
+                "o": lin(d, d)}
+
+    def enc_layer(_):
+        return {"ln1": ln(d), "attn": attn_params(), "ln2": ln(d),
+                "mlp": {"fc1": lin(d, arch.encoder_ffn_dim),
+                        "fc2": lin(arch.encoder_ffn_dim, d)}}
+
+    def dec_layer(_):
+        return {"ln1": ln(d), "self": attn_params(),
+                "ln2": ln(d), "cross": attn_params(),
+                "ln3": ln(d),
+                "mlp": {"fc1": lin(d, arch.decoder_ffn_dim),
+                        "fc2": lin(arch.decoder_ffn_dim, d)}}
+
+    def stack(fn, n):
+        layers = [fn(i) for i in range(n)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    params: Params = {
+        "encoder": {
+            "conv1": {"w": jax.random.normal(
+                next(keys), (3, arch.num_mel_bins, d), dtype) * std,
+                "b": jnp.zeros((d,), dtype)},
+            "conv2": {"w": jax.random.normal(next(keys), (3, d, d),
+                                             dtype) * std,
+                      "b": jnp.zeros((d,), dtype)},
+            "pos": jnp.asarray(sinusoids(arch.max_source_positions, d),
+                               dtype),
+            "layers": stack(enc_layer, arch.encoder_layers),
+            "ln_post": ln(d),
+        },
+        "decoder": {
+            "tok_emb": jax.random.normal(
+                next(keys), (arch.vocab_size, d), dtype) * std,
+            "pos_emb": jax.random.normal(
+                next(keys), (arch.max_target_positions, d), dtype) * std,
+            "layers": stack(dec_layer, arch.decoder_layers),
+            "ln": ln(d),
+        },
+    }
+    del dh
+    return params
