@@ -145,8 +145,11 @@ def log_mel_spectrogram(waveform: jax.Array,
 
     fb = jnp.asarray(mel_filter_bank(n_bins, cfg.feature_size, 0.0, 8000.0,
                                      cfg.sampling_rate))
+    # full-f32 MXU passes: the mel projection feeds log10, so the default
+    # bf16-input matmul precision would put ~1e-2 noise into quiet bins.
     mel = jnp.einsum("...fk,km->...fm", power, fb,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
 
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     # dynamic-range clip over the (frame, mel) axes of each item

@@ -1,0 +1,193 @@
+"""Checkpoint loading: HF safetensors -> stacked JAX pytrees.
+
+Replaces the reference's `from_pretrained(..., use_safetensors=True,
+low_cpu_mem_usage=True)` path (ref:transcribe.py:14-16): tensors are read
+per-shard from safetensors, renamed/transposed into our layout, stacked on
+the layer axis, and `jax.device_put` with an optional NamedSharding so
+large checkpoints land directly in sharded device memory (SURVEY.md §5.4).
+
+Layout conversions (torch -> ours):
+  * nn.Linear weight [out, in]       -> [in, out]
+  * nn.Conv1d weight [out, in, k]    -> [k, in, out]
+  * per-layer tensors                -> stacked [L, ...] for lax.scan
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable, Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import WhisperArch
+from .whisper import Params
+
+_ATTN_MAP = {"q_proj": "q", "k_proj": "k", "v_proj": "v", "out_proj": "o"}
+
+
+def _set(tree: dict, path: tuple, value) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _convert_key(key: str) -> tuple[tuple, Callable[[np.ndarray], np.ndarray],
+                                    int | None] | None:
+    """Map an HF state-dict key to (our path, transform, layer index).
+
+    layer index is None for non-stacked tensors; returns None for keys we
+    deliberately ignore (e.g. the tied proj_out.weight duplicate).
+    """
+    key = re.sub(r"^model\.", "", key)
+    t_lin = lambda x: np.ascontiguousarray(x.T)
+    t_conv = lambda x: np.ascontiguousarray(np.transpose(x, (2, 1, 0)))
+    ident = lambda x: x
+
+    if key == "proj_out.weight":      # tied to decoder.embed_tokens
+        return None
+    m = re.match(r"(encoder|decoder)\.layers\.(\d+)\.(.+)", key)
+    if m:
+        stack, idx, rest = m.group(1), int(m.group(2)), m.group(3)
+        wb = "w" if rest.endswith("weight") else "b"
+        tf = t_lin if wb == "w" else ident
+        if stack == "encoder":
+            for hf, ours in (("self_attn_layer_norm", "ln1"),
+                             ("final_layer_norm", "ln2")):
+                if rest.startswith(hf):
+                    return (("encoder", "layers", "ln",
+                             (ours, "scale" if wb == "w" else "bias")),
+                            ident, idx)
+            m2 = re.match(r"self_attn\.(\w+)\.(weight|bias)", rest)
+            if m2:
+                return (("encoder", "layers", "attn",
+                         (_ATTN_MAP[m2.group(1)], wb)), tf, idx)
+            m2 = re.match(r"(fc1|fc2)\.(weight|bias)", rest)
+            if m2:
+                return (("encoder", "layers", "mlp", (m2.group(1), wb)),
+                        tf, idx)
+        else:
+            for hf, ours in (("self_attn_layer_norm", "ln1"),
+                             ("encoder_attn_layer_norm", "ln2"),
+                             ("final_layer_norm", "ln3")):
+                if rest.startswith(hf):
+                    return (("decoder", "layers", "ln",
+                             (ours, "scale" if wb == "w" else "bias")),
+                            ident, idx)
+            m2 = re.match(r"self_attn\.(\w+)\.(weight|bias)", rest)
+            if m2:
+                return (("decoder", "layers", "self",
+                         (_ATTN_MAP[m2.group(1)], wb)), tf, idx)
+            m2 = re.match(r"encoder_attn\.(\w+)\.(weight|bias)", rest)
+            if m2:
+                return (("decoder", "layers", "cross",
+                         (_ATTN_MAP[m2.group(1)], wb)), tf, idx)
+            m2 = re.match(r"(fc1|fc2)\.(weight|bias)", rest)
+            if m2:
+                return (("decoder", "layers", "mlp", (m2.group(1), wb)),
+                        tf, idx)
+        raise KeyError(f"unrecognized layer tensor: {key}")
+
+    flat = {
+        "encoder.conv1.weight": (("encoder", "conv1", "w"), t_conv),
+        "encoder.conv1.bias": (("encoder", "conv1", "b"), ident),
+        "encoder.conv2.weight": (("encoder", "conv2", "w"), t_conv),
+        "encoder.conv2.bias": (("encoder", "conv2", "b"), ident),
+        "encoder.embed_positions.weight": (("encoder", "pos"), ident),
+        "encoder.layer_norm.weight": (("encoder", "ln_post", "scale"), ident),
+        "encoder.layer_norm.bias": (("encoder", "ln_post", "bias"), ident),
+        "decoder.embed_tokens.weight": (("decoder", "tok_emb"), ident),
+        "decoder.embed_positions.weight": (("decoder", "pos_emb"), ident),
+        "decoder.layer_norm.weight": (("decoder", "ln", "scale"), ident),
+        "decoder.layer_norm.bias": (("decoder", "ln", "bias"), ident),
+    }
+    if key in flat:
+        path, tf = flat[key]
+        return path, tf, None
+    raise KeyError(f"unrecognized checkpoint tensor: {key}")
+
+
+def params_from_state_dict(state: Mapping[str, np.ndarray], arch: WhisperArch,
+                           dtype: jnp.dtype = jnp.float32) -> Params:
+    """Convert a flat HF-style state dict of numpy arrays to our pytree."""
+    tree: dict = {}
+    # staging: per-layer tensors collected then stacked
+    staged: dict[tuple, dict[int, np.ndarray]] = {}
+    for key, value in state.items():
+        conv = _convert_key(key)
+        if conv is None:
+            continue
+        path, tf, idx = conv
+        arr = tf(np.asarray(value))
+        if idx is None:
+            _set(tree, path, arr)
+        else:
+            staged.setdefault(path, {})[idx] = arr
+
+    for path, by_layer in staged.items():
+        n = {"encoder": arch.encoder_layers,
+             "decoder": arch.decoder_layers}[path[0]]
+        missing = set(range(n)) - set(by_layer)
+        if missing:
+            raise ValueError(f"missing layers {sorted(missing)} for {path}")
+        stacked = np.stack([by_layer[i] for i in range(n)])
+        # path layout: (stack, "layers", group, (leaf... )) ; ln group keeps
+        # its sub-path inside the tuple tail.
+        stack_name, _, group, leaf = path
+        if group == "ln":
+            _set(tree, (stack_name, "layers", leaf[0], leaf[1]), stacked)
+        else:
+            _set(tree, (stack_name, "layers", group, leaf[0], leaf[1]),
+                 stacked)
+
+    def cast(x):
+        a = jnp.asarray(x)
+        # keep LN params f32 for numerics; everything else to `dtype`
+        return a.astype(dtype) if a.dtype == jnp.float32 else a
+
+    params = jax.tree.map(cast, tree)
+    # LN scales/biases stay f32 (layer_norm computes in f32 anyway)
+    return params
+
+
+def _iter_safetensor_files(model_dir: str) -> Iterable[str]:
+    index = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        for fname in sorted(set(weight_map.values())):
+            yield os.path.join(model_dir, fname)
+    else:
+        single = os.path.join(model_dir, "model.safetensors")
+        if not os.path.exists(single):
+            raise FileNotFoundError(f"no safetensors in {model_dir}")
+        yield single
+
+
+def load_params(model_dir: str, arch: WhisperArch | None = None,
+                dtype: jnp.dtype = jnp.bfloat16,
+                sharding: Any | None = None) -> tuple[Params, WhisperArch]:
+    """Load a local HF-format Whisper checkpoint directory.
+
+    Returns (params, arch). When ``sharding`` is a pytree of NamedShardings
+    (or a single sharding), params are device_put accordingly.
+    """
+    from safetensors import safe_open
+
+    if arch is None:
+        with open(os.path.join(model_dir, "config.json")) as f:
+            arch = WhisperArch.from_hf_config(json.load(f))
+
+    state: dict[str, np.ndarray] = {}
+    for path in _iter_safetensor_files(model_dir):
+        with safe_open(path, framework="numpy") as f:
+            for key in f.keys():
+                state[key] = f.get_tensor(key)
+    params = params_from_state_dict(state, arch, dtype)
+    if sharding is not None:
+        params = jax.device_put(params, sharding)
+    return params, arch

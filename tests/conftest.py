@@ -5,6 +5,12 @@ answer to "test multi-node without a cluster").
 """
 
 import os
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+for p in (os.path.dirname(_HERE), _HERE):   # repo root + tests/ (helpers)
+    if p not in sys.path:
+        sys.path.insert(0, p)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -16,3 +22,6 @@ os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# Golden parity vs torch-f32 requires true f32 matmuls; JAX's default
+# precision truncates matmul inputs to bf16 even on CPU.
+jax.config.update("jax_default_matmul_precision", "float32")
