@@ -1,0 +1,191 @@
+"""Single-program autoregressive decode loop.
+
+The reference decodes with a Python per-token loop over `model.forward`
+(hf generation/utils.py:2688 `_sample`), stashing per-step attention
+tensors on the host. Here the whole decode — prompt feed, logits
+processing, sampling, grammar state, alignment capture, EOS bookkeeping —
+is ONE `lax.while_loop` inside ONE jitted program; nothing leaves the
+device until the loop exits (SURVEY.md §7 design rules).
+
+Prompt tokens are streamed through the same single-token step as generated
+tokens (cache prefill), so shapes stay static for any prompt content.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GenerationOptions, SpecialTokens, WhisperArch
+from ..models.whisper import DecoderCache, decode_step, init_cache
+from .processors import TimestampState, process_scores
+
+
+class DecodeResult(NamedTuple):
+    """All [B]-leading outputs of one decode call.
+
+    sequences: [B, P + max_new] int32 — prompt + generated, eot-padded.
+    num_generated: [B] int32 — generated tokens incl. the final eot.
+    sum_logprobs: [B] f32 — sum of chosen-token logprobs (processed scores),
+      matching the accumulation consumed by _retrieve_avg_logprobs.
+    no_speech_probs: [B] f32 — P(<|nospeech|>) from the raw logits of the
+      first generated position (logits_process.py:2063-2121 semantics).
+    align_probs: [B, A, max_new, K] — alignment-head cross-attention rows
+      for query tokens g_1..g_{G-1} (the rows the reference keeps after
+      dropping decoder_input_ids at generation_whisper.py:336-337).
+    """
+    sequences: jax.Array
+    num_generated: jax.Array
+    sum_logprobs: jax.Array
+    no_speech_probs: jax.Array
+    align_probs: jax.Array
+
+
+class _Carry(NamedTuple):
+    t: jax.Array                      # scalar int32 current feed position
+    tokens: jax.Array                 # [B, T_total]
+    cache: DecoderCache
+    state: TimestampState
+    finished: jax.Array               # [B] bool
+    sum_logprobs: jax.Array           # [B] f32
+    no_speech: jax.Array              # [B] f32
+    align_buf: jax.Array              # [B, A, max_new, K]
+    key: jax.Array
+
+
+def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
+                  opts: GenerationOptions, encoder_out: jax.Array,
+                  prompt: jax.Array, *,
+                  max_new_tokens: int,
+                  suppress_mask: jax.Array | None = None,
+                  begin_suppress_mask: jax.Array | None = None,
+                  align_sel: jax.Array | None = None,
+                  return_timestamps: bool = True,
+                  temperature: jax.Array | float = 0.0,
+                  rng: jax.Array | None = None,
+                  align_dtype: jnp.dtype = jnp.float32) -> DecodeResult:
+    """Decode a batch against precomputed encoder states.
+
+    prompt: [B, P] int32 forced prefix (e.g. [sot, lang, task]); same
+      static length per batch (the reference's per-batch init tokens,
+      generation_whisper.py:1467-1620).
+    temperature: 0 => greedy argmax; > 0 => categorical sampling (the
+      fallback ladder re-invokes this with higher temperatures).
+    """
+    b, p = prompt.shape
+    k_frames = encoder_out.shape[1]
+    t_total = p + max_new_tokens
+    if t_total > arch.max_target_positions:
+        raise ValueError(f"prompt {p} + max_new {max_new_tokens} exceeds "
+                         f"max_target_positions {arch.max_target_positions}")
+    n_align = align_sel.shape[-1] if align_sel is not None else 1
+    eot = specials.eot
+
+    cache = init_cache(params, arch, encoder_out)
+    tokens0 = jnp.concatenate(
+        [prompt.astype(jnp.int32),
+         jnp.full((b, max_new_tokens), eot, jnp.int32)], axis=1)
+
+    carry = _Carry(
+        t=jnp.int32(0),
+        tokens=tokens0,
+        cache=cache,
+        state=TimestampState.init(b),
+        finished=jnp.zeros((b,), bool),
+        sum_logprobs=jnp.zeros((b,), jnp.float32),
+        no_speech=jnp.zeros((b,), jnp.float32),
+        align_buf=jnp.zeros((b, n_align, max_new_tokens, k_frames),
+                            align_dtype),
+        key=rng if rng is not None else jax.random.PRNGKey(0),
+    )
+    temperature = jnp.asarray(temperature, jnp.float32)
+
+    def cond(c: _Carry):
+        return (c.t < t_total - 1) & ~jnp.all(c.finished)
+
+    def body(c: _Carry) -> _Carry:
+        feed = c.tokens[:, c.t]
+        logits, cache, align = decode_step(params, arch, feed, c.t, c.cache,
+                                           align_sel=align_sel)
+        # record alignment rows for generated-query steps (t >= P)
+        slot = jnp.maximum(c.t - p, 0)
+        record = (c.t >= p) & ~c.finished
+        align_buf = jax.lax.dynamic_update_slice(
+            c.align_buf,
+            jnp.where(record[:, None, None, None],
+                      align[:, :, None, :],
+                      jax.lax.dynamic_slice(
+                          c.align_buf, (0, 0, slot, 0),
+                          (b, n_align, 1, k_frames))).astype(c.align_buf.dtype),
+            (0, 0, slot, 0))
+
+        is_sampling_step = c.t >= p - 1
+        # no-speech prob from RAW logits at the first sampling step
+        raw_probs = jax.nn.softmax(logits, axis=-1)
+        no_speech = jnp.where(c.t == p - 1, raw_probs[:, specials.no_speech],
+                              c.no_speech)
+
+        scores = process_scores(logits, c.state, specials, opts,
+                                suppress_mask, begin_suppress_mask,
+                                return_timestamps)
+        key, subkey = jax.random.split(c.key)
+        greedy_tok = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        sampled_tok = jax.random.categorical(
+            subkey, scores / jnp.maximum(temperature, 1e-6), axis=-1
+        ).astype(jnp.int32)
+        next_tok = jnp.where(temperature > 0, sampled_tok, greedy_tok)
+        # forced prompt feed for t < P-1; frozen eot after finish
+        next_tok = jnp.where(is_sampling_step, next_tok,
+                             c.tokens[:, jnp.minimum(c.t + 1, t_total - 1)])
+        next_tok = jnp.where(c.finished, eot, next_tok)
+
+        logprobs = jax.nn.log_softmax(scores, axis=-1)
+        chosen_lp = jnp.take_along_axis(logprobs, next_tok[:, None],
+                                        axis=-1)[:, 0]
+        active = is_sampling_step & ~c.finished
+        sum_logprobs = c.sum_logprobs + jnp.where(active, chosen_lp, 0.0)
+
+        new_state = c.state.update(next_tok, specials.timestamp_begin)
+        state = jax.tree.map(
+            lambda new, old: jnp.where(active, new, old), new_state, c.state)
+
+        finished = c.finished | (active & (next_tok == eot))
+        tokens = jax.lax.dynamic_update_slice(
+            c.tokens, next_tok[:, None], (0, c.t + 1))
+
+        return _Carry(t=c.t + 1, tokens=tokens, cache=cache, state=state,
+                      finished=finished, sum_logprobs=sum_logprobs,
+                      no_speech=no_speech, align_buf=align_buf, key=key)
+
+    final = jax.lax.while_loop(cond, body, carry)
+    return DecodeResult(
+        sequences=final.tokens,
+        num_generated=final.state.num_generated,
+        sum_logprobs=final.sum_logprobs,
+        no_speech_probs=final.no_speech,
+        align_probs=final.align_buf,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("arch", "specials", "opts", "max_new_tokens",
+                     "return_timestamps", "align_dtype"))
+def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
+                      opts: GenerationOptions, encoder_out, prompt,
+                      max_new_tokens: int, suppress_mask=None,
+                      begin_suppress_mask=None, align_sel=None,
+                      return_timestamps: bool = True,
+                      temperature=0.0, rng=None,
+                      align_dtype: jnp.dtype = jnp.float32) -> DecodeResult:
+    return greedy_decode(params, arch, specials, opts, encoder_out, prompt,
+                         max_new_tokens=max_new_tokens,
+                         suppress_mask=suppress_mask,
+                         begin_suppress_mask=begin_suppress_mask,
+                         align_sel=align_sel,
+                         return_timestamps=return_timestamps,
+                         temperature=temperature, rng=rng,
+                         align_dtype=align_dtype)
