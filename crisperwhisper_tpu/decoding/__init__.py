@@ -1,11 +1,16 @@
+from .fallback import compression_ratio, need_fallback
 from .generate import ShortFormOutput, build_prompt, generate_short_form
+from .longform import GenerateOutput, generate
+from .segments import pad_segments_to_max_length, retrieve_segment
 from .greedy import DecodeResult, greedy_decode, greedy_decode_jit
 from .processors import (TimestampState, apply_begin_suppress,
                          apply_suppress, apply_timestamp_rules,
                          process_scores, suppress_tokens_mask)
 
 __all__ = ["ShortFormOutput", "build_prompt", "generate_short_form",
-           "DecodeResult", "greedy_decode", "greedy_decode_jit",
-           "TimestampState", "apply_begin_suppress", "apply_suppress",
-           "apply_timestamp_rules", "process_scores",
+           "GenerateOutput", "generate", "compression_ratio",
+           "need_fallback", "pad_segments_to_max_length",
+           "retrieve_segment", "DecodeResult", "greedy_decode",
+           "greedy_decode_jit", "TimestampState", "apply_begin_suppress",
+           "apply_suppress", "apply_timestamp_rules", "process_scores",
            "suppress_tokens_mask"]

@@ -1,0 +1,181 @@
+"""Sequential seek-loop generation with temperature fallback.
+
+TPU-native equivalent of the reference's `generate()` orchestration
+(hf generation_whisper.py:796-914 seek loop, :981-1127 fallback ladder):
+the device work per iteration is ONE jitted batched decode; everything
+per-row and data-dependent (segment splitting, seek advancing, fallback
+bookkeeping, zlib gates) runs on small host arrays between iterations.
+
+Deviation from the reference by design: the batch is NOT dynamically
+shrunk (no _maybe_reduce_batch); finished rows keep decoding into masked
+results. Static shapes mean one compiled program for the whole audio —
+recompilation would cost far more than the wasted rows. (Batch compaction
+is a later optimization, cf. SURVEY.md §7 "batch shrink becomes masking".)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GenerationOptions, SpecialTokens, WhisperArch
+from ..models.whisper import alignment_selector, encode
+from ..ops.alignment import attention_to_jump_times
+from .fallback import need_fallback
+from .greedy import greedy_decode_jit
+from .processors import suppress_tokens_mask
+from .generate import build_prompt
+from .segments import pad_segments_to_max_length, retrieve_segment
+
+INPUT_STRIDE = 2                      # conv stem downsample (SURVEY.md §2.3)
+TIME_PRECISION_FEATURES = 0.01        # seconds per mel frame
+
+
+@dataclass
+class GenerateOutput:
+    sequences: np.ndarray                       # [B, L] int64 eot-padded
+    token_timestamps: np.ndarray | None         # [B, L] f32 seconds
+    segments: list[list[dict[str, Any]]]        # per item
+
+
+def _decode_window(params, arch, specials, opts, segment_features,
+                   prompt, max_new, suppress, begin_suppress, align_sel,
+                   temperature, rng, dtw_frames):
+    """One batched decode of 30 s windows + on-device DTW. Returns host
+    arrays: sequences, num_generated, sum_logprobs, no_speech, jump_times."""
+    encoder_out = encode(params, arch, segment_features)
+    res = greedy_decode_jit(
+        params, arch, specials, opts, encoder_out, jnp.asarray(prompt),
+        max_new, suppress_mask=suppress, begin_suppress_mask=begin_suppress,
+        align_sel=align_sel, return_timestamps=opts.return_timestamps,
+        temperature=temperature, rng=rng)
+    jump_times = None
+    if align_sel is not None:
+        n_tokens = jnp.maximum(res.num_generated - 1, 0)
+        jumps = attention_to_jump_times(
+            res.align_probs.astype(jnp.float32), opts.median_filter_width,
+            n_tokens, jnp.asarray(dtw_frames, jnp.int32))
+        jump_times = np.asarray(jumps).astype(np.float32) * opts.time_precision
+    return (np.asarray(res.sequences), np.asarray(res.num_generated),
+            np.asarray(res.sum_logprobs), np.asarray(res.no_speech_probs),
+            jump_times)
+
+
+def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
+             opts: GenerationOptions, input_features: np.ndarray,
+             num_frames: np.ndarray | None = None,
+             language_token: int | None = None,
+             rng: jax.Array | None = None) -> GenerateOutput:
+    """Transcribe batched (possibly >30 s) mel features.
+
+    input_features: [B, n_mels, total_frames] f32.
+    num_frames: [B] true (unpadded) frame counts; defaults to total_frames.
+    """
+    feats = np.asarray(input_features)
+    b, _, total_frames = feats.shape
+    num_segment_frames = INPUT_STRIDE * arch.max_source_positions
+    max_frames = (np.asarray(num_frames, np.int64) if num_frames is not None
+                  else np.full((b,), total_frames, np.int64))
+    seek = np.zeros((b,), np.int64)
+
+    prompt = build_prompt(specials, b, language_token=language_token,
+                          return_timestamps=opts.return_timestamps)
+    p = prompt.shape[1]
+    max_new = min(opts.max_new_tokens, arch.max_target_positions - p)
+
+    want_ts = opts.return_token_timestamps and len(opts.alignment_heads) > 0
+    suppress = (jnp.asarray(suppress_tokens_mask(arch.vocab_size,
+                                                 opts.suppress_tokens))
+                if opts.suppress_tokens else None)
+    begin_suppress = (
+        jnp.asarray(suppress_tokens_mask(arch.vocab_size,
+                                         opts.begin_suppress_tokens))
+        if opts.begin_suppress_tokens else None)
+    align_sel = (jnp.asarray(alignment_selector(arch, opts.alignment_heads))
+                 if want_ts else None)
+
+    rng = rng if rng is not None else jax.random.PRNGKey(opts.prompt_seed)
+    current_segments: list[list[dict[str, Any]]] = [[] for _ in range(b)]
+
+    while (seek < max_frames).any():
+        active = seek < max_frames
+        time_offset = seek.astype(np.float64) * opts.time_precision \
+            / INPUT_STRIDE
+        seek_num_frames = np.minimum(max_frames - seek, num_segment_frames)
+
+        # slice + right-pad each row's current window (host, cheap)
+        segment = np.zeros((b, feats.shape[1], num_segment_frames),
+                           np.float32)
+        for i in range(b):
+            s = int(seek[i]) if active[i] else 0
+            n = int(seek_num_frames[i]) if active[i] else num_segment_frames
+            n = max(min(n, total_frames - s), 0)
+            segment[i, :, :n] = feats[i, :, s:s + n]
+
+        if num_frames is not None:
+            dtw_frames = np.minimum((max_frames - seek) // 2,
+                                    arch.max_source_positions)
+            dtw_frames = np.maximum(dtw_frames, 1)
+        else:
+            dtw_frames = np.full((b,), arch.max_source_positions, np.int64)
+
+        # --- temperature fallback ladder (generate_with_fallback) ---
+        resolved = ~active
+        results: list[Any] = [None] * b
+        for t_idx, temperature in enumerate(opts.temperatures):
+            rng, sub = jax.random.split(rng)
+            seqs, ngen, sum_lp, no_sp, jt = _decode_window(
+                params, arch, specials, opts, jnp.asarray(segment), prompt,
+                max_new, suppress, begin_suppress, align_sel,
+                float(temperature), sub, dtw_frames)
+            is_last = t_idx == len(opts.temperatures) - 1
+            for i in range(b):
+                if resolved[i]:
+                    continue
+                g = int(ngen[i])
+                seq_with_eos = seqs[i, p:p + g]
+                avg_lp = (sum_lp[i] / g) if g > 0 else 0.0
+                nf, skip = need_fallback(seq_with_eos, avg_lp, no_sp[i],
+                                         arch.vocab_size, opts)
+                if not nf or is_last:
+                    results[i] = (seq_with_eos, jt[i] if jt is not None
+                                  else None, skip)
+                    resolved[i] = True
+            if resolved.all():
+                break
+
+        # --- segment extraction & seek advance ---
+        for i in range(b):
+            if not active[i]:
+                continue
+            seq_with_eos, jt_row, skip = results[i]
+            if skip:
+                seek[i] += int(seek_num_frames[i])
+                continue
+            seq = seq_with_eos
+            if len(seq) > 0 and seq[-1] == specials.eot:
+                seq = seq[:-1]
+            tok_ts = jt_row[:len(seq)] if jt_row is not None else None
+            if tok_ts is not None and len(tok_ts) < len(seq):
+                tok_ts = np.pad(tok_ts, (0, len(seq) - len(tok_ts)),
+                                mode="edge")
+            segs, offset = retrieve_segment(
+                seq, tok_ts, float(time_offset[i]), specials.timestamp_begin,
+                int(seek_num_frames[i]), opts.time_precision,
+                TIME_PRECISION_FEATURES, INPUT_STRIDE)
+            seek[i] += offset
+            current_segments[i] += segs
+
+    if want_ts:
+        sequences, token_ts = pad_segments_to_max_length(
+            current_segments, specials.eot, return_token_timestamps=True)
+    else:
+        sequences = pad_segments_to_max_length(current_segments,
+                                               specials.eot)
+        token_ts = None
+    return GenerateOutput(sequences=sequences, token_timestamps=token_ts,
+                          segments=current_segments)

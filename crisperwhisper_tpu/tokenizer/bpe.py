@@ -1,0 +1,147 @@
+"""Byte-level BPE codec (GPT-2 style) — pure-Python reference path.
+
+Re-implements the byte<->unicode maps and merge algorithm of the whisper
+tokenizer (hf models/whisper/tokenization_whisper.py:45-70 byte maps,
+:338-378 bpe merges, gpt2 regex pre-split :311). A C++ codec for bulk
+throughput lives in native/ (loaded lazily; this file is the always-on
+fallback and the semantics oracle).
+
+Decode requires no merges (pure vocab lookup + byte map), which is the hot
+direction for ASR output.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import re
+from typing import Iterable
+
+try:
+    import regex as _regex
+    _HAS_REGEX = True
+except ImportError:           # pragma: no cover - regex ships with transformers
+    _regex = None
+    _HAS_REGEX = False
+
+
+@functools.lru_cache()
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte->printable-unicode map."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(2 ** 8):
+        if b not in bs:
+            bs.append(b)
+            cs.append(2 ** 8 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+@functools.lru_cache()
+def unicode_to_bytes() -> dict[str, int]:
+    return {v: k for k, v in bytes_to_unicode().items()}
+
+
+def get_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
+    return set(zip(word, word[1:]))
+
+
+# GPT-2 pre-tokenization split (tokenization_whisper.py:311)
+_PAT_STR = r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+
+class ByteLevelBPE:
+    """vocab.json + merges.txt codec with LRU'd merge computation."""
+
+    def __init__(self, encoder: dict[str, int],
+                 bpe_ranks: dict[tuple[str, str], int]):
+        self.encoder = encoder
+        self.decoder = {v: k for k, v in encoder.items()}
+        self.bpe_ranks = bpe_ranks
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = unicode_to_bytes()
+        self.cache: dict[str, str] = {}
+        if _HAS_REGEX:
+            self.pat = _regex.compile(_PAT_STR)
+        else:
+            self.pat = None
+
+    @classmethod
+    def from_files(cls, vocab_file: str, merges_file: str) -> "ByteLevelBPE":
+        with open(vocab_file, encoding="utf-8") as f:
+            encoder = json.load(f)
+        with open(merges_file, encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        merges = [tuple(m.split()) for m in lines
+                  if m and not m.startswith("#version")]
+        ranks = dict(zip(merges, range(len(merges))))
+        return cls(encoder, ranks)
+
+    @classmethod
+    def from_dir(cls, model_dir: str) -> "ByteLevelBPE":
+        return cls.from_files(os.path.join(model_dir, "vocab.json"),
+                              os.path.join(model_dir, "merges.txt"))
+
+    # --- merges ---------------------------------------------------------
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token)
+        pairs = get_pairs(word)
+        if not pairs:
+            return token
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(
+                p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: list[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if (word[i] == first and i < len(word) - 1
+                        and word[i + 1] == second):
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    # --- public codec ---------------------------------------------------
+    def encode(self, text: str) -> list[int]:
+        if self.pat is None:
+            raise RuntimeError("encode requires the `regex` package")
+        ids: list[int] = []
+        for tok in self.pat.findall(text):
+            mapped = "".join(self.byte_encoder[b]
+                             for b in tok.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self.bpe(mapped).split(" "))
+        return ids
+
+    def decode_tokens(self, tokens: Iterable[str]) -> str:
+        text = "".join(tokens)
+        data = bytearray(self.byte_decoder[c] for c in text)
+        return data.decode("utf-8", errors="replace")
+
+    def decode(self, ids: Iterable[int]) -> str:
+        return self.decode_tokens(self.decoder[i] for i in ids
+                                  if i in self.decoder)

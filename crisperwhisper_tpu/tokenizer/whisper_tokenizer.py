@@ -1,0 +1,243 @@
+"""Whisper tokenizer: specials, timestamps, prefix builder, decode.
+
+Behavioral port of hf models/whisper/tokenization_whisper.py (decode paths
+only are hot; cited per method). Works off a local checkpoint dir
+containing vocab.json / merges.txt / added_tokens.json (and optionally
+tokenizer_config.json with added_tokens_decoder), including the
+CrisperWhisper *adjusted* vocabulary where space is its own token and
+[UH]/[UM] filler tokens exist (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Iterable, Sequence
+
+from .bpe import ByteLevelBPE
+from .languages import LANGUAGE_CODES, LANGUAGES, TO_LANGUAGE_CODE
+
+_TIMESTAMP_PAT = re.compile(r"<\|(\d+\.\d+)\|>")
+
+
+class WhisperTokenizer:
+    def __init__(self, bpe: ByteLevelBPE,
+                 added_tokens: dict[str, int] | None = None,
+                 language: str | None = None,
+                 task: str | None = None,
+                 predict_timestamps: bool = True):
+        self.bpe = bpe
+        self.added_tokens = dict(added_tokens or {})
+        self.added_decoder = {v: k for k, v in self.added_tokens.items()}
+        self.language = language
+        self.task = task
+        self.predict_timestamps = predict_timestamps
+
+        def _find(tok: str) -> int | None:
+            if tok in self.added_tokens:
+                return self.added_tokens[tok]
+            return self.bpe.encoder.get(tok)
+
+        self.eot = _find("<|endoftext|>")
+        self.sot = _find("<|startoftranscript|>")
+        self.translate = _find("<|translate|>")
+        self.transcribe = _find("<|transcribe|>")
+        self.sot_prev = _find("<|startofprev|>")
+        self.no_timestamps = _find("<|notimestamps|>")
+        self.no_speech = (_find("<|nospeech|>")
+                          if _find("<|nospeech|>") is not None
+                          else (self.no_timestamps - 1
+                                if self.no_timestamps else None))
+        # special ids: everything registered as an added special token plus
+        # eot; timestamp tokens live above all of them.
+        special_ids = set(self.added_tokens.values())
+        if self.eot is not None:
+            special_ids.add(self.eot)
+        self.all_special_ids: list[int] = sorted(special_ids)
+        self.timestamp_begin = (self.all_special_ids[-1] + 1
+                                if self.all_special_ids else None)
+        self.language_tokens = {
+            code: (self.sot + 1 + i) if self.sot is not None else None
+            for i, code in enumerate(LANGUAGE_CODES)}
+        self.id_to_language_code = {v: k for k, v
+                                    in self.language_tokens.items()}
+
+    # --- construction -----------------------------------------------------
+    @classmethod
+    def from_dir(cls, model_dir: str, **kw) -> "WhisperTokenizer":
+        bpe = ByteLevelBPE.from_dir(model_dir)
+        added: dict[str, int] = {}
+        at_path = os.path.join(model_dir, "added_tokens.json")
+        if os.path.exists(at_path):
+            with open(at_path, encoding="utf-8") as f:
+                added.update(json.load(f))
+        cfg_path = os.path.join(model_dir, "tokenizer_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path, encoding="utf-8") as f:
+                cfg = json.load(f)
+            for idx, spec in cfg.get("added_tokens_decoder", {}).items():
+                added[spec["content"]] = int(idx)
+            kw.setdefault("language", cfg.get("language"))
+            kw.setdefault("task", cfg.get("task"))
+        return cls(bpe, added, **kw)
+
+    # --- vocabulary helpers -------------------------------------------------
+    @property
+    def vocab_size(self) -> int:
+        return len(self.bpe.encoder)
+
+    def token_to_id(self, token: str) -> int | None:
+        if token in self.added_tokens:
+            return self.added_tokens[token]
+        return self.bpe.encoder.get(token)
+
+    def id_to_token(self, idx: int) -> str:
+        if idx in self.added_decoder:
+            return self.added_decoder[idx]
+        if self.timestamp_begin is not None and idx >= self.timestamp_begin:
+            return f"<|{(idx - self.timestamp_begin) * 0.02:.2f}|>"
+        return self.bpe.decoder.get(idx, "")
+
+    def language_token_id(self, language: str) -> int:
+        lang = language.lower()
+        code = TO_LANGUAGE_CODE.get(lang, lang)
+        if code not in self.language_tokens:
+            raise ValueError(f"unsupported language: {language}")
+        return self.language_tokens[code]
+
+    # --- prefix (init) tokens (tokenization_whisper.py:406-438) -----------
+    def prefix_tokens(self) -> list[int]:
+        seq = [self.sot]
+        if self.language is not None:
+            seq.append(self.language_token_id(self.language))
+        if self.task is not None:
+            seq.append(self.transcribe if self.task == "transcribe"
+                       else self.translate)
+        if not self.predict_timestamps:
+            seq.append(self.no_timestamps)
+        return seq
+
+    # --- encode -------------------------------------------------------------
+    def encode(self, text: str) -> list[int]:
+        return self.bpe.encode(text)
+
+    # --- decode (tokenization_whisper.py:675-792) ---------------------------
+    def decode(self, token_ids: Sequence[int],
+               skip_special_tokens: bool = False,
+               decode_with_timestamps: bool = False,
+               time_precision: float = 0.02,
+               segment_size: int = 1500) -> str:
+        ids = [int(t) for t in token_ids]
+        if decode_with_timestamps:
+            return self._decode_with_timestamps(
+                ids, skip_special_tokens, time_precision, segment_size)
+        parts: list[str] = []
+        pending: list[int] = []
+        special_set = set(self.all_special_ids)
+        for t in ids:
+            if self.timestamp_begin is not None and t >= self.timestamp_begin:
+                continue                     # timestamps ignored by decode()
+            if t in special_set or t in self.added_decoder:
+                if pending:
+                    parts.append(self.bpe.decode(pending))
+                    pending = []
+                if not skip_special_tokens:
+                    parts.append(self.added_decoder.get(t, ""))
+            else:
+                pending.append(t)
+        if pending:
+            parts.append(self.bpe.decode(pending))
+        return "".join(parts)
+
+    def _decode_with_timestamps(self, token_ids: list[int],
+                                skip_special_tokens: bool,
+                                time_precision: float,
+                                segment_size: int) -> str:
+        """Timestamp-annotated decode with >30 s segment rollover
+        (tokenization_whisper.py:533-573)."""
+        timestamp_begin = self.timestamp_begin
+        outputs: list = [[]]
+        cur_max_timestamp = 0.0
+        prev_segments_len = 0.0
+        penultimate_timestamp = 0.0
+        for i, token in enumerate(token_ids):
+            if token >= timestamp_begin:
+                timestamp = float((token - timestamp_begin) * time_precision)
+                if timestamp < cur_max_timestamp:
+                    # next segment started
+                    last_was_single_ending = i >= 2 and not (
+                        token_ids[i - 1] >= timestamp_begin
+                        and token_ids[i - 2] >= timestamp_begin)
+                    if last_was_single_ending:
+                        prev_segments_len += time_precision * segment_size
+                    else:
+                        cur_max_timestamp = penultimate_timestamp
+                        prev_segments_len += penultimate_timestamp
+                        outputs = outputs[:-2]
+                penultimate_timestamp = cur_max_timestamp
+                cur_max_timestamp = timestamp
+                outputs.append(f"<|{(timestamp + prev_segments_len):.2f}|>")
+                outputs.append([])
+            else:
+                outputs[-1].append(token)
+        return "".join(
+            s if isinstance(s, str)
+            else self.decode(s, skip_special_tokens=skip_special_tokens)
+            for s in outputs)
+
+    # --- misc helpers -------------------------------------------------------
+    def strip_prompt(self, token_ids: list[int]) -> list[int]:
+        """Drop a leading <|startofprev|>...<|startoftranscript|> prompt
+        (tokenization_whisper.py:879 _strip_prompt)."""
+        if not token_ids or token_ids[0] != self.sot_prev:
+            return token_ids
+        if self.sot in token_ids:
+            return token_ids[token_ids.index(self.sot):]
+        return []
+
+    def compute_offsets(self, token_ids: Sequence[int],
+                        time_precision: float = 0.02,
+                        segment_size: int = 1500) -> list[dict]:
+        """Segment offsets from paired timestamps with rollover
+        (tokenization_whisper.py:575-641)."""
+        ids = [int(t) for t in token_ids]
+        offsets = []
+        ts_begin = self.timestamp_begin
+        start_idx = None
+        start_time = None
+        cur_max_timestamp = 0.0
+        prev_segments_len = 0.0
+        penultimate_timestamp = 0.0
+        i = 0
+        n = len(ids)
+        while i < n:
+            t = ids[i]
+            if t >= ts_begin:
+                timestamp = (t - ts_begin) * time_precision
+                if timestamp < cur_max_timestamp:
+                    last_was_single_ending = i >= 2 and not (
+                        ids[i - 1] >= ts_begin and ids[i - 2] >= ts_begin)
+                    if last_was_single_ending:
+                        prev_segments_len += time_precision * segment_size
+                    else:
+                        cur_max_timestamp = penultimate_timestamp
+                        prev_segments_len += penultimate_timestamp
+                penultimate_timestamp = cur_max_timestamp
+                cur_max_timestamp = timestamp
+                if start_idx is None:
+                    start_idx, start_time = i, timestamp + prev_segments_len
+                else:
+                    text_ids = [x for x in ids[start_idx + 1:i]
+                                if x < ts_begin]
+                    offsets.append({
+                        "text": self.decode(text_ids,
+                                            skip_special_tokens=True),
+                        "timestamp": (start_time,
+                                      timestamp + prev_segments_len)})
+                    start_idx, start_time = None, None
+            i += 1
+        return offsets
+
+
+__all__ = ["WhisperTokenizer", "LANGUAGES", "TO_LANGUAGE_CODE"]

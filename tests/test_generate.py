@@ -1,5 +1,5 @@
-"""End-to-end short-form generation parity vs HF model.generate with
-timestamps + token timestamps (greedy) on the seed-pinned tiny model."""
+"""End-to-end generation parity vs HF model.generate (seek loop, segments,
+timestamps, token timestamps; greedy, no fallback) on the tiny model."""
 
 import numpy as np
 import pytest
@@ -7,16 +7,16 @@ import pytest
 import jax.numpy as jnp
 
 from crisperwhisper_tpu.config import GenerationOptions
-from crisperwhisper_tpu.decoding import generate_short_form
+from crisperwhisper_tpu.decoding import generate
 from crisperwhisper_tpu.models import params_from_state_dict
 from helpers import TINY_SPECIALS, rand_mel, state_dict_numpy, tiny_arch, torch_tiny_model
 
 ALIGN_HEADS = ((0, 1), (1, 3), (0, 2))
+MAX_NEW = 32
 
 
 @pytest.fixture(scope="module")
 def setup():
-    import torch
     tm = torch_tiny_model(seed=0)
     gc = tm.generation_config
     gc.no_timestamps_token_id = TINY_SPECIALS.no_timestamps
@@ -29,62 +29,64 @@ def setup():
     gc.begin_suppress_tokens = None
     gc.forced_decoder_ids = None
     gc.no_speech_threshold = None
+    gc.logprob_threshold = None
+    gc.compression_ratio_threshold = None
     gc.median_filter_width = 7
     params = params_from_state_dict(state_dict_numpy(tm), tiny_arch(),
                                     dtype=jnp.float32)
     opts = GenerationOptions(alignment_heads=ALIGN_HEADS,
                              median_filter_width=7,
-                             max_initial_timestamp_index=50)
+                             max_initial_timestamp_index=50,
+                             compression_ratio_threshold=None,
+                             logprob_threshold=None,
+                             no_speech_threshold=None,
+                             temperatures=(0.0,),
+                             max_new_tokens=MAX_NEW)
     return tm, params, opts
 
 
-def test_short_form_generate_parity(setup):
+def _hf_generate(tm, mel, **kw):
     import torch
-    tm, params, opts = setup
-    arch = tiny_arch()
-    mel = rand_mel(batch=2, seed=11)
-    max_new = 24
-
     with torch.no_grad():
-        out = tm.generate(
+        return tm.generate(
             input_features=torch.from_numpy(mel),
-            max_new_tokens=max_new,
-            num_beams=1, do_sample=False,
-            return_timestamps=True,
-            return_token_timestamps=True,
-            return_dict_in_generate=True,
-        )
-    golden_seq = out["sequences"].numpy()
-    golden_ts = out["token_timestamps"].numpy()
-
-    ours = generate_short_form(params, arch, TINY_SPECIALS, opts,
-                               jnp.asarray(mel), max_new_tokens=max_new)
-
-    for i in range(2):
-        g_len = golden_seq.shape[1]
-        # golden is right-padded with pad_token across batch; compare the
-        # real region: our sequences are [P + max_new] eot-padded too.
-        np.testing.assert_array_equal(
-            ours.sequences[i, :g_len], golden_seq[i],
-            err_msg=f"row {i} token mismatch")
-        np.testing.assert_allclose(
-            ours.token_timestamps[i, :g_len], golden_ts[i], atol=1e-6,
-            err_msg=f"row {i} timestamp mismatch")
+            max_new_tokens=MAX_NEW, num_beams=1, do_sample=False,
+            temperature=0.0,
+            return_timestamps=True, return_token_timestamps=True,
+            return_segments=True, **kw)
 
 
-def test_timestamp_grammar_structure(setup):
-    """Property: generated sequences obey the timestamp grammar — start
-    with a timestamp <= max_initial, timestamps non-decreasing."""
-    _, params, opts = setup
-    arch = tiny_arch()
-    mel = rand_mel(batch=4, seed=13)
-    ours = generate_short_form(params, arch, TINY_SPECIALS, opts,
-                               jnp.asarray(mel), max_new_tokens=20)
-    tsb = TINY_SPECIALS.timestamp_begin
-    for i in range(4):
-        g = int(ours.num_generated[i])
-        seq = ours.sequences[i, 1:1 + g]
-        assert seq[0] >= tsb
-        assert seq[0] <= tsb + opts.max_initial_timestamp_index
-        ts = [t for t in seq if t >= tsb]
-        assert ts == sorted(ts)
+def _compare(golden, ours, batch):
+    gs = golden["sequences"].numpy()
+    gt = golden["token_timestamps"].numpy()
+    L = gs.shape[1]
+    assert ours.sequences.shape[1] == L, (ours.sequences.shape, gs.shape)
+    np.testing.assert_array_equal(ours.sequences, gs)
+    np.testing.assert_allclose(ours.token_timestamps, gt, atol=1e-4)
+    for i in range(batch):
+        g_segs = golden["segments"][i]
+        o_segs = ours.segments[i]
+        assert len(g_segs) == len(o_segs)
+        for gseg, oseg in zip(g_segs, o_segs):
+            np.testing.assert_array_equal(np.asarray(gseg["tokens"]),
+                                          oseg["tokens"])
+            assert abs(float(gseg["start"]) - oseg["start"]) < 1e-6
+            assert abs(float(gseg["end"]) - oseg["end"]) < 1e-6
+
+
+def test_short_form_parity(setup):
+    tm, params, opts = setup
+    mel = rand_mel(batch=2, seed=11)
+    golden = _hf_generate(tm, mel)
+    ours = generate(params, tiny_arch(), TINY_SPECIALS, opts,
+                    jnp.asarray(mel))
+    _compare(golden, ours, 2)
+
+
+def test_long_form_parity(setup):
+    tm, params, opts = setup
+    mel = rand_mel(batch=2, seed=21, frames=7500)
+    golden = _hf_generate(tm, mel)
+    ours = generate(params, tiny_arch(), TINY_SPECIALS, opts,
+                    jnp.asarray(mel))
+    _compare(golden, ours, 2)

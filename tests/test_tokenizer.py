@@ -1,0 +1,159 @@
+"""Tokenizer / word-grouping / stitcher parity vs the HF slow tokenizer on
+a shared synthetic whisper-style vocabulary."""
+
+import numpy as np
+import pytest
+
+from vocab_fixture import build_vocab_dir, hf_tokenizer, our_tokenizer
+
+
+@pytest.fixture(scope="module")
+def vocab(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vocab"))
+    layout = build_vocab_dir(path)
+    return path, layout
+
+
+@pytest.fixture(scope="module")
+def toks(vocab):
+    path, layout = vocab
+    return hf_tokenizer(path), our_tokenizer(path), layout
+
+
+def test_encode_parity(toks):
+    hf, ours, _ = toks
+    for text in [" hello world", "hello", " the cat [UH] sat",
+                 " um uh [UM] dog", "a b  c", " hello, world!"]:
+        assert ours.encode(text) == hf(text, add_special_tokens=False
+                                       )["input_ids"], text
+
+
+def test_decode_parity(toks):
+    hf, ours, lay = toks
+    tsb = lay["timestamp_begin"]
+    seqs = [
+        [lay["sot"], lay["language_begin"], lay["transcribe"], tsb + 0],
+        [tsb + 0, *hf(" hello world", add_special_tokens=False)["input_ids"],
+         tsb + 25, tsb + 25, *hf(" the dog", add_special_tokens=False)
+         ["input_ids"], tsb + 80, lay["eot"]],
+    ]
+    for ids in seqs:
+        for skip in (False, True):
+            assert ours.decode(ids, skip_special_tokens=skip) == \
+                hf.decode(ids, skip_special_tokens=skip), (ids, skip)
+        assert ours.decode(ids, decode_with_timestamps=True) == \
+            hf.decode(ids, decode_with_timestamps=True), ids
+
+
+def test_decode_with_timestamps_rollover(toks):
+    """>30 s rollover bookkeeping (tokenization_whisper.py:533-573)."""
+    hf, ours, lay = toks
+    tsb = lay["timestamp_begin"]
+    h = hf(" hello", add_special_tokens=False)["input_ids"]
+    w = hf(" world", add_special_tokens=False)["input_ids"]
+    # two segments, second restarts at 0.00 (seek rollover)
+    ids = [tsb + 10, *h, tsb + 1400, tsb + 1400, *w, tsb + 1500,
+           tsb + 0, *h, tsb + 100]
+    assert ours.decode(ids, decode_with_timestamps=True) == \
+        hf.decode(ids, decode_with_timestamps=True)
+
+
+def test_combine_tokens_into_words_parity(toks):
+    from transformers.models.whisper.tokenization_whisper import \
+        _combine_tokens_into_words
+    from crisperwhisper_tpu.tokenizer import combine_tokens_into_words
+    hf, ours, lay = toks
+    ids = hf(" hello world, the [UH] cat! in dog", add_special_tokens=False
+             )["input_ids"]
+    g_words, g_toks, g_idx = _combine_tokens_into_words(hf, ids, "english")
+    o_words, o_toks, o_idx = combine_tokens_into_words(ours, ids, "english")
+    assert o_words == g_words
+    assert o_toks == g_toks
+    assert o_idx == g_idx
+
+
+def test_lcs_merge_parity():
+    from transformers.models.whisper.tokenization_whisper import \
+        _find_longest_common_sequence
+    from crisperwhisper_tpu.tokenizer import find_longest_common_sequence
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        base = rng.integers(0, 50, size=60).tolist()
+        # overlapping windows with noise at edges
+        seqs = [base[:30], base[20:50], base[40:]]
+        seqs[1][0] = 99  # conflict in overlap
+        golden = _find_longest_common_sequence(seqs)
+        ours = find_longest_common_sequence(seqs)
+        assert ours == golden
+
+
+def _mk_output(hf, lay, text_times, stride=None):
+    """Build a fake model output: list of (text, t0, t1) -> tokens."""
+    tsb = lay["timestamp_begin"]
+    ids, ts = [], []
+    for text, t0, t1 in text_times:
+        toks = hf(text, add_special_tokens=False)["input_ids"]
+        ids += [tsb + int(round(t0 / 0.02))] + toks \
+            + [tsb + int(round(t1 / 0.02))]
+        ts += [t0] + list(np.linspace(t0, t1, len(toks))) + [t1]
+    out = {"tokens": np.asarray([ids]),
+           "token_timestamps": np.asarray([ts], dtype=np.float64)}
+    if stride is not None:
+        out["stride"] = stride
+    return out
+
+
+@pytest.mark.parametrize("mode", [True, "word"])
+def test_decode_asr_parity_single_chunk(toks, mode):
+    from transformers.models.whisper.tokenization_whisper import _decode_asr
+    from crisperwhisper_tpu.tokenizer import decode_asr
+    hf, ours, lay = toks
+    outputs = [_mk_output(hf, lay, [(" hello world", 0.0, 2.0),
+                                    (" the cat", 2.5, 4.0)])]
+    golden = _decode_asr(hf, outputs, return_timestamps=mode,
+                         return_language=False, time_precision=0.02)
+    got = decode_asr(ours, outputs, return_timestamps=mode,
+                     return_language=False, time_precision=0.02)
+    assert got == golden
+
+
+@pytest.mark.parametrize("mode", [True, "word"])
+def test_decode_asr_parity_strided_chunks(toks, mode):
+    """Overlap-stitching across 3 chunks with strides (the pipeline path)."""
+    from transformers.models.whisper.tokenization_whisper import _decode_asr
+    from crisperwhisper_tpu.tokenizer import decode_asr
+    hf, ours, lay = toks
+    # chunk layout: 30 s windows, 5 s stride each side
+    outputs = [
+        _mk_output(hf, lay, [(" hello world", 0.0, 6.0),
+                             (" the cat", 8.0, 24.0),
+                             (" in dog", 26.0, 29.0)],
+                   stride=(30.0, 0.0, 5.0)),
+        _mk_output(hf, lay, [(" the cat", 0.5, 4.0),
+                             (" in dog", 6.0, 9.0),
+                             (" hello [UH] world", 11.0, 28.0)],
+                   stride=(30.0, 5.0, 5.0)),
+        _mk_output(hf, lay, [(" hello [UH] world", 0.5, 8.0),
+                             (" um the end", 10.0, 20.0)],
+                   stride=(25.0, 5.0, 0.0)),
+    ]
+    golden = _decode_asr(hf, outputs, return_timestamps=mode,
+                         return_language=False, time_precision=0.02)
+    got = decode_asr(ours, outputs, return_timestamps=mode,
+                     return_language=False, time_precision=0.02)
+    assert got == golden
+
+
+def test_adjust_pauses_bit_exact():
+    from crisperwhisper_tpu.pipeline.pauses import adjust_pauses
+    out = {"chunks": [
+        {"text": " a", "timestamp": (0.0, 1.0)},
+        {"text": " b", "timestamp": (1.05, 2.0)},      # small gap < 0.12
+        {"text": " c", "timestamp": (2.5, 3.0)},       # large gap > 0.12
+        {"text": " d", "timestamp": (3.0, 4.0)},       # no gap
+    ]}
+    got = adjust_pauses(out)["chunks"]
+    assert got[0]["timestamp"] == (0.0, 1.025)
+    assert got[1]["timestamp"] == (1.025, 2.06)
+    assert got[2]["timestamp"] == (2.44, 3.0)
+    assert got[3]["timestamp"] == (3.0, 4.0)
