@@ -1,0 +1,118 @@
+"""Audio ingestion: WAV reader, ffmpeg subprocess contract, resampling.
+
+Replaces the reference's L0 audio ingestion (hf pipelines/audio_utils.py
+:10-47 `ffmpeg_read`): same subprocess contract (any container -> mono f32
+PCM at the requested rate) when an `ffmpeg` binary exists, plus a
+first-party WAV/PCM path (scipy-backed with a C++ fast path in native/)
+for environments without ffmpeg — this sandbox included.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+from typing import Any
+
+import numpy as np
+
+DEFAULT_SR = 16000
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def ffmpeg_read(bpayload: bytes, sampling_rate: int = DEFAULT_SR
+                ) -> np.ndarray:
+    """Decode arbitrary audio bytes via ffmpeg to mono f32 at
+    sampling_rate. Same CLI contract as the reference."""
+    ar = f"{sampling_rate}"
+    format_for_conversion = "f32le"
+    ffmpeg_command = [
+        "ffmpeg", "-i", "pipe:0", "-ac", "1", "-f", format_for_conversion,
+        "-ar", ar, "pipe:1",
+    ]
+    try:
+        with subprocess.Popen(ffmpeg_command, stdin=subprocess.PIPE,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.DEVNULL) as proc:
+            output_stream = proc.communicate(bpayload)
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            "ffmpeg was not found but is required to load non-WAV audio"
+        ) from e
+    out_bytes = output_stream[0]
+    audio = np.frombuffer(out_bytes, np.float32)
+    if audio.shape[0] == 0:
+        raise ValueError("ffmpeg produced no audio — malformed/empty file?")
+    return audio
+
+
+def read_wav(path_or_bytes: Any) -> tuple[int, np.ndarray]:
+    """Read a WAV file (path or bytes) -> (sample_rate, f32 mono array)."""
+    import io as _io
+
+    from scipy.io import wavfile
+
+    src = (_io.BytesIO(path_or_bytes) if isinstance(path_or_bytes, bytes)
+           else path_or_bytes)
+    sr, data = wavfile.read(src)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 2:
+        data = data.mean(axis=1)
+    return int(sr), data
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampler (replaces torchaudio.functional.resample at
+    hf pipelines/automatic_speech_recognition.py:411-426 / ref:app.py:93)."""
+    if orig_sr == target_sr:
+        return audio.astype(np.float32)
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(int(orig_sr), int(target_sr))
+    return resample_poly(audio.astype(np.float64), target_sr // g,
+                         orig_sr // g).astype(np.float32)
+
+
+def load_audio(inputs: Any, sampling_rate: int = DEFAULT_SR) -> np.ndarray:
+    """Normalize any supported input into mono f32 at sampling_rate.
+
+    Accepts: path (str), raw bytes, np.ndarray (assumed at target rate),
+    or dict {"raw"/"array": np.ndarray, "sampling_rate": int} — the same
+    surface the reference pipeline accepts (preprocess :358-500).
+    """
+    if isinstance(inputs, str):
+        if inputs.lower().endswith(".wav") or not ffmpeg_available():
+            sr, audio = read_wav(inputs)
+            return resample(audio, sr, sampling_rate)
+        with open(inputs, "rb") as f:
+            return ffmpeg_read(f.read(), sampling_rate)
+    if isinstance(inputs, bytes):
+        if inputs[:4] == b"RIFF":
+            sr, audio = read_wav(inputs)
+            return resample(audio, sr, sampling_rate)
+        return ffmpeg_read(inputs, sampling_rate)
+    if isinstance(inputs, dict):
+        sr = inputs.get("sampling_rate", sampling_rate)
+        audio = inputs.get("raw", inputs.get("array"))
+        if audio is None:
+            raise ValueError(
+                'dict input must have "raw"/"array" and "sampling_rate"')
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=0)
+        return resample(audio, sr, sampling_rate)
+    audio = np.asarray(inputs, np.float32)
+    if audio.ndim > 1:
+        audio = audio.mean(axis=0)
+    return audio

@@ -68,18 +68,26 @@ def _decode_window(params, arch, specials, opts, segment_features,
 def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
              opts: GenerationOptions, input_features: np.ndarray,
              num_frames: np.ndarray | None = None,
+             max_frames: np.ndarray | None = None,
              language_token: int | None = None,
              rng: jax.Array | None = None) -> GenerateOutput:
     """Transcribe batched (possibly >30 s) mel features.
 
     input_features: [B, n_mels, total_frames] f32.
-    num_frames: [B] true (unpadded) frame counts; defaults to total_frames.
+    num_frames: [B] true (unpadded) frame counts — used ONLY to crop the
+      DTW key axis (the reference's attention-mask-derived
+      generation_config.num_frames, hf generation_whisper.py:1697-1705).
+    max_frames: [B] per-row seek bound; defaults to total_frames (the
+      reference's _retrieve_max_frames_and_seek: attention-mask bound for
+      batched long-form, full window for short-form, :1782-1795).
     """
     feats = np.asarray(input_features)
     b, _, total_frames = feats.shape
     num_segment_frames = INPUT_STRIDE * arch.max_source_positions
-    max_frames = (np.asarray(num_frames, np.int64) if num_frames is not None
+    max_frames = (np.asarray(max_frames, np.int64) if max_frames is not None
                   else np.full((b,), total_frames, np.int64))
+    num_frames = (np.asarray(num_frames, np.int64) if num_frames is not None
+                  else None)
     seek = np.zeros((b,), np.int64)
 
     prompt = build_prompt(specials, b, language_token=language_token,
@@ -117,7 +125,7 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
             segment[i, :, :n] = feats[i, :, s:s + n]
 
         if num_frames is not None:
-            dtw_frames = np.minimum((max_frames - seek) // 2,
+            dtw_frames = np.minimum((num_frames - seek) // 2,
                                     arch.max_source_positions)
             dtw_frames = np.maximum(dtw_frames, 1)
         else:

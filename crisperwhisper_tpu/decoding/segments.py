@@ -61,6 +61,11 @@ def retrieve_segment(seek_sequence: np.ndarray,
             if token_timestamps is not None:
                 seg["token_timestamps"] = (
                     token_timestamps[last_slice:current_slice] + time_offset)
+                # window-local copy: the reference's padded top-level output
+                # slices the *result's* (unoffset) timestamps
+                # (_pad_to_max_length :192-195)
+                seg["token_timestamps_local"] = \
+                    token_timestamps[last_slice:current_slice]
             segments.append(seg)
             last_slice = current_slice
         if single_timestamp_ending:
@@ -82,6 +87,7 @@ def retrieve_segment(seek_sequence: np.ndarray,
         }
         if token_timestamps is not None:
             seg["token_timestamps"] = token_timestamps[:len(seq)] + time_offset
+            seg["token_timestamps_local"] = token_timestamps[:len(seq)]
         segments.append(seg)
         segment_offset = int(seek_num_frames)
 
@@ -110,8 +116,12 @@ def pad_segments_to_max_length(current_segments: list[list[dict[str, Any]]],
                 parts.append(toks)
             seq = np.concatenate(parts) if parts else np.zeros(0, np.int64)
             if return_token_timestamps:
+                # window-local timestamps, matching the reference's padded
+                # output (result timestamps, not offset segment ones)
                 ts = np.concatenate([
-                    np.asarray(d["token_timestamps"]) for d in seg_list])
+                    np.asarray(d.get("token_timestamps_local",
+                                     d["token_timestamps"]))
+                    for d in seg_list])
             if cut_off_length is not None:
                 seq = seq[-cut_off_length:]
                 if return_token_timestamps:

@@ -1,0 +1,88 @@
+"""Device mesh and sharding rules.
+
+The reference has NO multi-device machinery (SURVEY.md §2.8 — single
+process, single device, batch-of-chunks only). Here scaling is
+first-class: a ("data", "model") mesh where the chunk batch is sharded
+over "data" (each 30 s window is independent — embarrassingly parallel)
+and attention heads / MLP hidden of the transformer are tensor-sharded
+over "model" for low-latency large-v3 serving. XLA inserts the
+all-reduces (psum over ICI) from the shardings; there is no hand-written
+collective here.
+
+Sharding layout (per stacked [L, ...] param):
+  attn q/k/v:  w [L, d, d]   -> (None, None, "model")   heads split
+               b [L, d]      -> (None, "model")
+  attn out:    w [L, d, d]   -> (None, "model", None)   row-parallel
+  mlp fc1:     w [L, d, f]   -> (None, None, "model")
+  mlp fc2:     w [L, f, d]   -> (None, "model", None)
+  everything else (LN, conv stem, embeddings): replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = 1, model: int = 1,
+              devices: list | None = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = data * model
+    if n > len(devices):
+        raise ValueError(f"mesh {data}x{model} needs {n} devices, "
+                         f"have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def _param_spec(path: tuple[str, ...], ndim: int) -> P:
+    """Partition spec for one parameter identified by its tree path."""
+    path_s = "/".join(str(p) for p in path)
+    # attention projections (encoder attn / decoder self / decoder cross)
+    for group in ("attn", "self", "cross"):
+        if f"/{group}/" in f"/{path_s}/":
+            if path_s.endswith("o/w"):
+                return P(None, "model", None)
+            if path_s.endswith("/w"):
+                return P(None, None, "model")
+            if path_s.endswith("o/b"):
+                return P()                       # output bias replicated
+            if path_s.endswith("/b"):
+                return P(None, "model")
+    if "/mlp/" in f"/{path_s}/":
+        if path_s.endswith("fc1/w"):
+            return P(None, None, "model")
+        if path_s.endswith("fc1/b"):
+            return P(None, "model")
+        if path_s.endswith("fc2/w"):
+            return P(None, "model", None)
+        return P()
+    return P()                                   # LN, conv, embeddings
+
+
+def param_pspecs(params: Any) -> Any:
+    """Pytree of PartitionSpecs matching the param pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    paths = [tuple(getattr(k, "key", str(k)) for k in path)
+             for path, _ in flat[0]]
+    specs = [_param_spec(p, np.ndim(v)) for p, (_, v) in zip(paths, flat[0])]
+    return jax.tree_util.tree_unflatten(flat[1], specs)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """device_put params with TP shardings over `mesh`."""
+    specs = param_pspecs(params)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+    return jax.device_put(params, shardings)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding for inputs (chunks over the data axis)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,189 @@
+"""Chunked long-form ASR pipeline — the primary serving path.
+
+TPU-native re-design of the reference's L5 orchestration
+(hf pipelines/automatic_speech_recognition.py + ChunkPipeline machinery,
+SURVEY.md §2.6): overlapping 30 s windows (stride chunk/6 each side,
+:447-448), batched ACROSS chunks and audios into fixed-size device
+batches, one jitted mel+encode+decode program per batch, then the
+`decode_asr` stitcher merges overlap regions back into one transcript.
+
+Where the reference threads chunks through a torch DataLoader with pad
+collation (hf pipelines/base.py:1501-1519), we build static [B, 480000]
+sample batches directly: every chunk window is padded to exactly 30 s, so
+one XLA program serves every batch — the TPU answer to dynamic batching.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.io import load_audio
+from ..audio.mel import extract_features, pad_or_trim
+from ..config import (FeatureConfig, GenerationOptions, PipelineOptions,
+                      SpecialTokens, WhisperArch)
+from ..decoding.longform import generate
+from ..tokenizer.stitcher import decode_asr
+from ..tokenizer.whisper_tokenizer import WhisperTokenizer
+from .pauses import adjust_pauses
+
+
+@dataclass
+class Chunk:
+    audio_idx: int
+    samples: np.ndarray            # raw window (<= n_samples)
+    stride: tuple[int, int, int]   # (chunk_samples, left, right) in samples
+    is_last: bool
+
+
+def chunk_iter(audio: np.ndarray, audio_idx: int, n_samples: int,
+               stride_left: int, stride_right: int) -> Iterable[Chunk]:
+    """Overlapping window generator (hf chunk_iter :61-84): step =
+    chunk - left - right; first chunk has no left stride, last no right."""
+    inputs_len = audio.shape[0]
+    step = n_samples - stride_left - stride_right
+    for chunk_start in range(0, inputs_len, step):
+        chunk = audio[chunk_start:chunk_start + n_samples]
+        _stride_left = 0 if chunk_start == 0 else stride_left
+        is_last = chunk_start + n_samples >= inputs_len
+        _stride_right = 0 if is_last else stride_right
+        if chunk.shape[0] > _stride_left:
+            yield Chunk(audio_idx, chunk,
+                        (chunk.shape[0], _stride_left, _stride_right),
+                        is_last)
+        if is_last:
+            break
+
+
+class ASRPipeline:
+    """`pipe(audio, return_timestamps="word")` equivalent of
+    ref:transcribe.py:21-33."""
+
+    def __init__(self, params: Any, arch: WhisperArch,
+                 tokenizer: WhisperTokenizer,
+                 specials: SpecialTokens | None = None,
+                 gen_opts: GenerationOptions = GenerationOptions(),
+                 pipe_opts: PipelineOptions = PipelineOptions(),
+                 feat_cfg: FeatureConfig | None = None):
+        self.params = params
+        self.arch = arch
+        self.tokenizer = tokenizer
+        self.specials = specials or specials_from_tokenizer(tokenizer)
+        self.gen_opts = gen_opts
+        self.pipe_opts = pipe_opts
+        self.feat_cfg = feat_cfg or FeatureConfig(
+            feature_size=arch.num_mel_bins)
+
+    # ------------------------------------------------------------------
+    def __call__(self, inputs: Any, return_timestamps: str | bool | None
+                 = None, adjust_pauses_threshold: float | None = None,
+                 return_language: bool = False):
+        single = not isinstance(inputs, (list, tuple))
+        audios = [inputs] if single else list(inputs)
+        results = self.transcribe_batch(
+            audios,
+            return_timestamps=(return_timestamps
+                               if return_timestamps is not None
+                               else self.pipe_opts.return_timestamps),
+            return_language=return_language,
+            adjust_pauses_threshold=adjust_pauses_threshold)
+        return results[0] if single else results
+
+    def transcribe_batch(self, audios: Sequence[Any], return_timestamps,
+                         return_language=False,
+                         adjust_pauses_threshold: float | None = None):
+        cfg = self.feat_cfg
+        sr = cfg.sampling_rate
+        sl_s, sr_s = self.pipe_opts.strides()
+        # align strides to the conv stem's inputs_to_logits_ratio
+        # (hf automatic_speech_recognition.py:447-455)
+        align = cfg.hop_length * 2
+        n_samples = int(round(self.pipe_opts.chunk_length_s * sr / align)
+                        * align)
+        stride_left = int(round(sl_s * sr / align) * align)
+        stride_right = int(round(sr_s * sr / align) * align)
+
+        chunks: list[Chunk] = []
+        for idx, a in enumerate(audios):
+            audio = load_audio(a, sr)
+            chunks.extend(chunk_iter(audio, idx, n_samples, stride_left,
+                                     stride_right))
+
+        chunk_outputs = self._run_chunks(chunks, n_samples, return_timestamps)
+
+        results = []
+        for idx in range(len(audios)):
+            model_outputs = [co for c, co in zip(chunks, chunk_outputs)
+                             if c.audio_idx == idx]
+            # stride samples -> seconds (postprocess :616-623)
+            for out in model_outputs:
+                cl, left, right = out["stride"]
+                out["stride"] = (cl / sr, left / sr, right / sr)
+            time_precision = cfg.chunk_length / self.arch.max_source_positions
+            text, optional = decode_asr(
+                self.tokenizer, model_outputs,
+                return_timestamps=return_timestamps,
+                return_language=return_language,
+                time_precision=time_precision)
+            result = {"text": text, **optional}
+            if adjust_pauses_threshold is not None and \
+                    return_timestamps == "word":
+                result = adjust_pauses(result, adjust_pauses_threshold)
+            results.append(result)
+        return results
+
+    # ------------------------------------------------------------------
+    def _run_chunks(self, chunks: list[Chunk], n_samples: int,
+                    return_timestamps) -> list[dict]:
+        """Batch chunk windows into static [B, 480000] device batches and
+        decode each with the seek-loop generate."""
+        bs = self.pipe_opts.batch_size
+        want_words = return_timestamps == "word"
+        opts = self.gen_opts
+        if not want_words and opts.return_token_timestamps:
+            opts = GenerationOptions(
+                **{**opts.__dict__, "return_token_timestamps": False})
+
+        outputs: list[dict] = [None] * len(chunks)  # type: ignore
+        for start in range(0, len(chunks), bs):
+            group = chunks[start:start + bs]
+            batch = np.zeros((len(group), n_samples), np.float32)
+            num_frames = np.zeros((len(group),), np.int64)
+            for i, c in enumerate(group):
+                batch[i, :len(c.samples)] = c.samples
+                num_frames[i] = len(c.samples) // self.feat_cfg.hop_length
+            feats = extract_features(jnp.asarray(batch), self.feat_cfg)
+            gen = generate(self.params, self.arch, self.specials, opts,
+                           feats, num_frames=num_frames,
+                           language_token=self._language_token())
+            for i, c in enumerate(group):
+                segs = gen.segments[i]
+                toks = (np.concatenate([np.asarray(s["tokens"])
+                                        for s in segs])
+                        if segs else np.zeros(0, np.int64))
+                out = {"tokens": toks[None], "stride": c.stride}
+                if want_words:
+                    tts = (np.concatenate(
+                        [np.asarray(s["token_timestamps"]) for s in segs])
+                        if segs else np.zeros(0, np.float32))
+                    out["token_timestamps"] = tts[None]
+                outputs[start + i] = out
+        return outputs
+
+    def _language_token(self) -> int | None:
+        if self.gen_opts.language is None:
+            return None
+        return self.tokenizer.language_token_id(self.gen_opts.language)
+
+
+def specials_from_tokenizer(tok: WhisperTokenizer) -> SpecialTokens:
+    return SpecialTokens(
+        eot=tok.eot, sot=tok.sot, translate=tok.translate,
+        transcribe=tok.transcribe, sot_prev=tok.sot_prev,
+        no_speech=tok.no_speech, no_timestamps=tok.no_timestamps,
+        timestamp_begin=tok.timestamp_begin,
+        language_begin=tok.sot + 1)

@@ -12,15 +12,15 @@ for p in (os.path.dirname(_HERE), _HERE):   # repo root + tests/ (helpers)
     if p not in sys.path:
         sys.path.insert(0, p)
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 
 import jax  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) force-registers itself and rewrites
+# jax_platforms; post-import config updates win. 8 virtual CPU devices give
+# deterministic numerics and a mesh for pjit tests.
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Golden parity vs torch-f32 requires true f32 matmuls; JAX's default
 # precision truncates matmul inputs to bf16 even on CPU.

@@ -12,6 +12,9 @@ from crisperwhisper_tpu.config import SpecialTokens, WhisperArch
 
 # A miniature whisper-like geometry, large enough to exercise multi-head
 # attention / mel frontend / timestamp vocab, small enough for 1-CPU CI.
+# max_source_positions is shrunk 1500->256 (i.e. 512-frame windows): every
+# algorithm under test is length-generic, and the small window keeps the
+# seek-loop parity tests tractable on one CPU.
 TINY = dict(
     vocab_size=1000,
     d_model=64,
@@ -21,8 +24,8 @@ TINY = dict(
     decoder_attention_heads=4,
     encoder_ffn_dim=128,
     decoder_ffn_dim=128,
-    max_source_positions=1500,
-    max_target_positions=448,
+    max_source_positions=256,
+    max_target_positions=96,
     num_mel_bins=80,
 )
 
@@ -68,6 +71,6 @@ def state_dict_numpy(model) -> dict:
 
 
 def rand_mel(batch: int = 1, seed: int = 0, n_mels: int = 80,
-             frames: int = 3000) -> np.ndarray:
+             frames: int = 512) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((batch, n_mels, frames)).astype(np.float32)

