@@ -258,19 +258,25 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     n_align = align_sel.shape[-1] if align_sel is not None else 1
     scale = arch.head_dim ** -0.5
 
+    # The full cache rides the scan CARRY with per-layer in-place slice
+    # updates — XLA aliases carry buffers, so each step writes only the
+    # new [B, H, 1, Dh] row instead of materializing stacked multi-GB
+    # scan outputs (the naive ys formulation copies the whole cache every
+    # token and dominates decode time).
     def body(carry, layer_in):
-        hidden = carry
-        lp, layer_self_k, layer_self_v, layer_cross_k, layer_cross_v, sel = \
-            layer_in
+        hidden, self_k, self_v = carry
+        li, lp, layer_cross_k, layer_cross_v, sel = layer_in
         # --- self-attention against the ring cache
         y = layer_norm(hidden, lp["ln1"])
         q = _split_heads(dense(y, lp["self"]["q"]) * scale, h)
         k_new = _split_heads(dense(y, lp["self"]["k"]), h)
         v_new = _split_heads(dense(y, lp["self"]["v"]), h)
-        k_all = jax.lax.dynamic_update_slice(
-            layer_self_k, k_new.astype(dtype), (0, 0, position, 0))
-        v_all = jax.lax.dynamic_update_slice(
-            layer_self_v, v_new.astype(dtype), (0, 0, position, 0))
+        self_k = jax.lax.dynamic_update_slice(
+            self_k, k_new.astype(dtype)[None], (li, 0, 0, position, 0))
+        self_v = jax.lax.dynamic_update_slice(
+            self_v, v_new.astype(dtype)[None], (li, 0, 0, position, 0))
+        k_all = jax.lax.dynamic_index_in_dim(self_k, li, 0, keepdims=False)
+        v_all = jax.lax.dynamic_index_in_dim(self_v, li, 0, keepdims=False)
         attn_out, _ = attention(q, k_all, v_all, self_mask)
         hidden = hidden + dense(_merge_heads(attn_out), lp["self"]["o"])
         # --- cross-attention against cached encoder K/V
@@ -283,14 +289,14 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
                              preferred_element_type=jnp.float32)
         # --- MLP
         hidden = hidden + mlp_block(layer_norm(hidden, lp["ln3"]), lp["mlp"])
-        return hidden, (k_all, v_all, aligned)
+        return (hidden, self_k, self_v), aligned
 
     sel = (jnp.asarray(align_sel) if align_sel is not None
            else jnp.zeros((arch.decoder_layers, h, 1), jnp.float32))
-    x, (new_k, new_v, aligned) = jax.lax.scan(
-        body, x,
-        (dec["layers"], cache.self_k, cache.self_v,
-         cache.cross_k, cache.cross_v, sel))
+    layer_ids = jnp.arange(arch.decoder_layers)
+    (x, new_k, new_v), aligned = jax.lax.scan(
+        body, (x, cache.self_k, cache.self_v),
+        (layer_ids, dec["layers"], cache.cross_k, cache.cross_v, sel))
 
     x = layer_norm(x, dec["ln"])
     # weight-tied LM head (modeling_whisper.py:1168)
@@ -357,7 +363,8 @@ def init_params(arch: WhisperArch, key: jax.Array,
     """Random init mirroring the reference's init distributions
     (std = config.init_std on dense/conv, sinusoid encoder positions)."""
     std = 0.02
-    keys = iter(jax.random.split(key, 64))
+    _counter = iter(range(1_000_000))
+    keys = (jax.random.fold_in(key, i) for i in _counter)
 
     def lin(din, dout, bias=True):
         p = {"w": jax.random.normal(next(keys), (din, dout), dtype) * std}
