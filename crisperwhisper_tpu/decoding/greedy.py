@@ -66,7 +66,8 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                   return_timestamps: bool = True,
                   temperature: jax.Array | float = 0.0,
                   rng: jax.Array | None = None,
-                  align_dtype: jnp.dtype = jnp.float32) -> DecodeResult:
+                  align_dtype: jnp.dtype = jnp.float32,
+                  cross_cache_dtype: jnp.dtype | None = None) -> DecodeResult:
     """Decode a batch against precomputed encoder states.
 
     prompt: [B, P] int32 forced prefix (e.g. [sot, lang, task]); same
@@ -84,7 +85,8 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     n_align = align_sel.shape[-1] if align_sel is not None else 1
     eot = specials.eot
 
-    cache = init_cache(params, arch, encoder_out)
+    cache = init_cache(params, arch, encoder_out,
+                       cross_dtype=cross_cache_dtype, cache_len=t_total)
     tokens0 = jnp.concatenate(
         [prompt.astype(jnp.int32),
          jnp.full((b, max_new_tokens), eot, jnp.int32)], axis=1)
@@ -173,14 +175,17 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
 @functools.partial(
     jax.jit,
     static_argnames=("arch", "specials", "opts", "max_new_tokens",
-                     "return_timestamps", "align_dtype"))
+                     "return_timestamps", "align_dtype",
+                     "cross_cache_dtype"))
 def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                       opts: GenerationOptions, encoder_out, prompt,
                       max_new_tokens: int, suppress_mask=None,
                       begin_suppress_mask=None, align_sel=None,
                       return_timestamps: bool = True,
                       temperature=0.0, rng=None,
-                      align_dtype: jnp.dtype = jnp.float32) -> DecodeResult:
+                      align_dtype: jnp.dtype = jnp.float32,
+                      cross_cache_dtype: jnp.dtype | None = None
+                      ) -> DecodeResult:
     return greedy_decode(params, arch, specials, opts, encoder_out, prompt,
                          max_new_tokens=max_new_tokens,
                          suppress_mask=suppress_mask,
@@ -188,4 +193,5 @@ def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                          align_sel=align_sel,
                          return_timestamps=return_timestamps,
                          temperature=temperature, rng=rng,
-                         align_dtype=align_dtype)
+                         align_dtype=align_dtype,
+                         cross_cache_dtype=cross_cache_dtype)

@@ -98,13 +98,27 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out, probs.astype(probs_dtype)
 
 
+def use_fused_attention() -> bool:
+    """Pallas fused attention on real TPU backends (env-overridable)."""
+    import os
+    flag = os.environ.get("CW_FUSED_ATTENTION")
+    if flag is not None:
+        return flag not in ("0", "false", "off")
+    from ..ops.fused_attention import supports_pallas
+    return supports_pallas()
+
+
 def self_attention_block(x: jax.Array, p: Params, num_heads: int,
                          mask: jax.Array | None = None) -> jax.Array:
     scale = (x.shape[-1] // num_heads) ** -0.5
     q = _split_heads(dense(x, p["q"]) * scale, num_heads)
     k = _split_heads(dense(x, p["k"]), num_heads)
     v = _split_heads(dense(x, p["v"]), num_heads)
-    out, _ = attention(q, k, v, mask)
+    if mask is None and use_fused_attention():
+        from ..ops.fused_attention import fused_attention
+        out = fused_attention(q, k, v)
+    else:
+        out, _ = attention(q, k, v, mask)
     return dense(_merge_heads(out), p["o"])
 
 
@@ -181,22 +195,52 @@ class DecoderCache(NamedTuple):
 
     self_k/self_v: [L, B, H, max_target, Dh] — preallocated ring for the
     causal self-attention (EncoderDecoderCache analog, SURVEY.md §2.3).
-    cross_k/cross_v: [L, B, H, 1500, Dh] — computed once at step 0
+    cross_k/cross_v: [L, B, H, K_enc, Dh] — computed once at step 0
     (modeling_whisper.py:321-346 `is_updated` logic, made structural here).
+    cross_k_scale/cross_v_scale: [L, B, H, K_enc, 1] — per-position
+    dequant scales when the cross cache is int8 (decode is HBM-bound on
+    cross-K/V reads; int8 halves that traffic). None => cross is bf16/f32.
     """
     self_k: jax.Array
     self_v: jax.Array
     cross_k: jax.Array
     cross_v: jax.Array
+    cross_k_scale: jax.Array | None = None
+    cross_v_scale: jax.Array | None = None
+
+    def cross_kv(self, layer_k: jax.Array, layer_v: jax.Array,
+                 k_scale: jax.Array | None, v_scale: jax.Array | None,
+                 dtype: jnp.dtype) -> tuple[jax.Array, jax.Array]:
+        """Dequantize one layer's cross K/V (fused into the attention
+        matmul's input read by XLA — int8 bytes come from HBM)."""
+        if k_scale is None:
+            return layer_k, layer_v
+        k = layer_k.astype(dtype) * k_scale.astype(dtype)
+        v = layer_v.astype(dtype) * v_scale.astype(dtype)
+        return k, v
+
+
+def _quantize_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 over the last axis: returns (q, scale[..., :1])."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
 
 
 def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
-               dtype: jnp.dtype | None = None) -> DecoderCache:
+               dtype: jnp.dtype | None = None,
+               cross_dtype: jnp.dtype | None = None,
+               cache_len: int | None = None) -> DecoderCache:
+    """cross_dtype=jnp.int8 enables the quantized cross cache.
+    cache_len sizes the self-attention ring (default max_target_positions;
+    decode is HBM-bound, so allocating only prompt+max_new saves traffic)."""
     dec = params["decoder"]
     b = encoder_out.shape[0]
     h = arch.decoder_attention_heads
     dh = arch.head_dim
     dtype = dtype or encoder_out.dtype
+    cache_len = cache_len or arch.max_target_positions
 
     def per_layer_cross(lp):
         k = _split_heads(dense(encoder_out, lp["cross"]["k"]), h)
@@ -204,7 +248,14 @@ def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
         return k, v
 
     cross_k, cross_v = jax.lax.map(per_layer_cross, dec["layers"])
-    shape = (arch.decoder_layers, b, h, arch.max_target_positions, dh)
+    shape = (arch.decoder_layers, b, h, cache_len, dh)
+    if cross_dtype == jnp.int8:
+        kq, ks = _quantize_int8(cross_k.astype(jnp.float32))
+        vq, vs = _quantize_int8(cross_v.astype(jnp.float32))
+        return DecoderCache(self_k=jnp.zeros(shape, dtype),
+                            self_v=jnp.zeros(shape, dtype),
+                            cross_k=kq, cross_v=vq,
+                            cross_k_scale=ks, cross_v_scale=vs)
     return DecoderCache(
         self_k=jnp.zeros(shape, dtype),
         self_v=jnp.zeros(shape, dtype),
@@ -245,14 +296,15 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     dec = params["decoder"]
     h = arch.decoder_attention_heads
     b = tokens.shape[0]
-    dtype = cache.cross_k.dtype
+    dtype = cache.self_k.dtype
+    quantized = cache.cross_k_scale is not None
 
     x = dec["tok_emb"][tokens].astype(dtype)          # [B, d]
     x = x + dec["pos_emb"][position].astype(dtype)    # learned pos (:203-208)
     x = x[:, None, :]                                 # [B, 1, d]
 
     # causal mask over cache positions: attend to <= position
-    pos_ids = jnp.arange(arch.max_target_positions)
+    pos_ids = jnp.arange(cache.self_k.shape[3])
     self_mask = (pos_ids <= position)[None, None, None, :]
 
     n_align = align_sel.shape[-1] if align_sel is not None else 1
@@ -265,7 +317,11 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     # token and dominates decode time).
     def body(carry, layer_in):
         hidden, self_k, self_v = carry
-        li, lp, layer_cross_k, layer_cross_v, sel = layer_in
+        li, lp, layer_cross_k, layer_cross_v, kv_scales, sel = layer_in
+        layer_cross_k, layer_cross_v = cache.cross_kv(
+            layer_cross_k, layer_cross_v,
+            kv_scales[0] if quantized else None,
+            kv_scales[1] if quantized else None, dtype)
         # --- self-attention against the ring cache
         y = layer_norm(hidden, lp["ln1"])
         q = _split_heads(dense(y, lp["self"]["q"]) * scale, h)
@@ -294,9 +350,12 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     sel = (jnp.asarray(align_sel) if align_sel is not None
            else jnp.zeros((arch.decoder_layers, h, 1), jnp.float32))
     layer_ids = jnp.arange(arch.decoder_layers)
+    kv_scales = ((cache.cross_k_scale, cache.cross_v_scale) if quantized
+                 else (layer_ids, layer_ids))        # dummy xs when bf16
     (x, new_k, new_v), aligned = jax.lax.scan(
         body, (x, cache.self_k, cache.self_v),
-        (layer_ids, dec["layers"], cache.cross_k, cache.cross_v, sel))
+        (layer_ids, dec["layers"], cache.cross_k, cache.cross_v,
+         kv_scales, sel))
 
     x = layer_norm(x, dec["ln"])
     # weight-tied LM head (modeling_whisper.py:1168)

@@ -99,13 +99,12 @@ class ASRPipeline:
         cfg = self.feat_cfg
         sr = cfg.sampling_rate
         sl_s, sr_s = self.pipe_opts.strides()
-        # align strides to the conv stem's inputs_to_logits_ratio
-        # (hf automatic_speech_recognition.py:447-455)
-        align = cfg.hop_length * 2
-        n_samples = int(round(self.pipe_opts.chunk_length_s * sr / align)
-                        * align)
-        stride_left = int(round(sl_s * sr / align) * align)
-        stride_right = int(round(sr_s * sr / align) * align)
+        # window/stride sample counts (hf automatic_speech_recognition.py
+        # :447-455 rounds to config.inputs_to_logits_ratio — which
+        # WhisperConfig does not define, so align_to == 1 for whisper)
+        n_samples = int(round(self.pipe_opts.chunk_length_s * sr))
+        stride_left = int(round(sl_s * sr))
+        stride_right = int(round(sr_s * sr))
 
         chunks: list[Chunk] = []
         for idx, a in enumerate(audios):

@@ -12,7 +12,7 @@ from crisperwhisper_tpu.config import SpecialTokens, WhisperArch
 
 # A miniature whisper-like geometry, large enough to exercise multi-head
 # attention / mel frontend / timestamp vocab, small enough for 1-CPU CI.
-# max_source_positions is shrunk 1500->256 (i.e. 512-frame windows): every
+# max_source_positions is shrunk 1500->250 (i.e. 500-frame / 5 s windows):
 # algorithm under test is length-generic, and the small window keeps the
 # seek-loop parity tests tractable on one CPU.
 TINY = dict(
@@ -24,7 +24,7 @@ TINY = dict(
     decoder_attention_heads=4,
     encoder_ffn_dim=128,
     decoder_ffn_dim=128,
-    max_source_positions=256,
+    max_source_positions=250,
     max_target_positions=96,
     num_mel_bins=80,
 )
@@ -71,6 +71,6 @@ def state_dict_numpy(model) -> dict:
 
 
 def rand_mel(batch: int = 1, seed: int = 0, n_mels: int = 80,
-             frames: int = 512) -> np.ndarray:
+             frames: int = 500) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((batch, n_mels, frames)).astype(np.float32)

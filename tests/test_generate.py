@@ -89,7 +89,7 @@ def test_short_form_parity(setup):
 def test_long_form_parity(setup):
     import torch
     tm, params, opts = setup
-    frames = 1280          # 2.5 windows of the tiny 512-frame geometry
+    frames = 1250          # 2.5 windows of the tiny 500-frame geometry
     mel = rand_mel(batch=2, seed=21, frames=frames)
     mask = torch.ones((2, frames), dtype=torch.long)
     golden = _hf_generate(tm, mel, attention_mask=mask)

@@ -1,0 +1,133 @@
+"""Full-stack pipeline parity: our ASRPipeline vs the HF ASR pipeline
+(chunking, batching, generate, DTW word timestamps, stitching) with
+identical weights, tokenizer files, and audio. This is BASELINE.json
+config 1 made offline."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from crisperwhisper_tpu.config import (FeatureConfig, GenerationOptions,
+                                       PipelineOptions)
+from crisperwhisper_tpu.models import params_from_state_dict
+from crisperwhisper_tpu.pipeline.asr import ASRPipeline
+from helpers import TINY_SPECIALS, state_dict_numpy, tiny_arch, torch_tiny_model
+from vocab_fixture import build_model_vocab_dir, hf_tokenizer, our_tokenizer
+
+ALIGN_HEADS = ((0, 1), (1, 3), (0, 2))
+CHUNK_S = 5          # tiny geometry: 250 positions = 500 frames = 5 s
+
+
+@pytest.fixture(scope="module")
+def vocab_dir(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("model_vocab"))
+    build_model_vocab_dir(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def hf_pipe(vocab_dir):
+    from transformers import WhisperFeatureExtractor, pipeline
+    tm = torch_tiny_model(seed=0)
+    gc = tm.generation_config
+    gc.no_timestamps_token_id = TINY_SPECIALS.no_timestamps
+    gc.eos_token_id = TINY_SPECIALS.eot
+    gc.pad_token_id = TINY_SPECIALS.eot
+    gc.decoder_start_token_id = TINY_SPECIALS.sot
+    gc.max_initial_timestamp_index = 50
+    gc.alignment_heads = [list(h) for h in ALIGN_HEADS]
+    gc.suppress_tokens = None
+    gc.begin_suppress_tokens = None
+    gc.forced_decoder_ids = None
+    gc.no_speech_threshold = None
+    gc.logprob_threshold = None
+    gc.compression_ratio_threshold = None
+    gc.median_filter_width = 7
+    gc.max_new_tokens = 32
+    tok = hf_tokenizer(vocab_dir)
+    tok.pad_token = "<|endoftext|>"
+    fe = WhisperFeatureExtractor(feature_size=80, chunk_length=CHUNK_S)
+    return tm, pipeline("automatic-speech-recognition", model=tm,
+                        tokenizer=tok, feature_extractor=fe,
+                        chunk_length_s=CHUNK_S, batch_size=2,
+                        return_timestamps="word",
+                        # pin greedy: transformers' ASR pipeline defaults to
+                        # num_beams=5 since 4.49 (beam parity is tested once
+                        # our beam search lands)
+                        generate_kwargs={"max_new_tokens": 32,
+                                         "num_beams": 1})
+
+
+@pytest.fixture(scope="module")
+def our_pipe(hf_pipe, vocab_dir):
+    tm, _ = hf_pipe
+    params = params_from_state_dict(state_dict_numpy(tm), tiny_arch(),
+                                    dtype=jnp.float32)
+    tok = our_tokenizer(vocab_dir)
+    gen_opts = GenerationOptions(
+        alignment_heads=ALIGN_HEADS, median_filter_width=7,
+        max_initial_timestamp_index=50, compression_ratio_threshold=None,
+        logprob_threshold=None, no_speech_threshold=None,
+        temperatures=(0.0,), max_new_tokens=32)
+    pipe_opts = PipelineOptions(chunk_length_s=CHUNK_S, batch_size=2,
+                                return_timestamps="word")
+    feat_cfg = FeatureConfig(feature_size=80, chunk_length=CHUNK_S)
+    return ASRPipeline(params, tiny_arch(), tok,
+                       specials=TINY_SPECIALS, gen_opts=gen_opts,
+                       pipe_opts=pipe_opts, feat_cfg=feat_cfg)
+
+
+def _audio(seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(seconds * 16000)
+    t = np.arange(n) / 16000.0
+    return (0.2 * np.sin(2 * np.pi * 300 * t)
+            + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+
+def _compare_outputs(golden, ours):
+    assert ours["text"] == golden["text"]
+    assert len(ours["chunks"]) == len(golden["chunks"])
+    for g, o in zip(golden["chunks"], ours["chunks"]):
+        assert o["text"] == g["text"]
+        gs, ge = g["timestamp"]
+        os_, oe = o["timestamp"]
+        # DTW f32-vs-f64 near-ties: allow one 20 ms frame
+        assert abs(os_ - gs) <= 0.021 and abs(oe - ge) <= 0.021, (g, o)
+
+
+@pytest.mark.parametrize("seconds,seed", [(4.0, 0), (12.3, 1)])
+def test_pipeline_word_timestamps_parity(hf_pipe, our_pipe, seconds, seed):
+    _, pipe = hf_pipe
+    audio = _audio(seconds, seed)
+    golden = pipe(audio.copy(), return_timestamps="word")
+    ours = our_pipe({"raw": audio, "sampling_rate": 16000},
+                    return_timestamps="word")
+    _compare_outputs(golden, ours)
+
+
+def test_pipeline_segment_timestamps_parity(hf_pipe, our_pipe):
+    _, pipe = hf_pipe
+    audio = _audio(9.0, seed=2)
+    golden = pipe(audio.copy(), return_timestamps=True)
+    ours = our_pipe({"raw": audio, "sampling_rate": 16000},
+                    return_timestamps=True)
+    assert ours["text"] == golden["text"]
+    assert len(ours["chunks"]) == len(golden["chunks"])
+    for g, o in zip(golden["chunks"], ours["chunks"]):
+        assert o["text"] == g["text"]
+        assert o["timestamp"] == tuple(g["timestamp"])
+
+
+def test_pipeline_adjust_pauses_end_to_end(our_pipe):
+    audio = _audio(6.0, seed=3)
+    plain = our_pipe({"raw": audio, "sampling_rate": 16000},
+                     return_timestamps="word")
+    adjusted = our_pipe({"raw": audio, "sampling_rate": 16000},
+                        return_timestamps="word",
+                        adjust_pauses_threshold=0.12)
+    assert len(plain["chunks"]) == len(adjusted["chunks"])
+    # pause redistribution never re-orders or renames words
+    assert [c["text"] for c in plain["chunks"]] == \
+        [c["text"] for c in adjusted["chunks"]]

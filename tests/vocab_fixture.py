@@ -72,6 +72,41 @@ def build_vocab_dir(path: str) -> dict:
     }
 
 
+def build_model_vocab_dir(path: str) -> dict:
+    """Vocabulary aligned to the tiny *model*'s special-token layout
+    (helpers.TINY_SPECIALS: eot=900, sot=901, ..., timestamp_begin=907):
+    byte+merge vocab padded with filler tokens to exactly 900 entries,
+    then the 7 specials as added tokens. No language tokens (English-only
+    style), so both tokenizers see timestamp_begin == 907 == the model's."""
+    os.makedirs(path, exist_ok=True)
+    byte_vocab = list(bytes_to_unicode().values())
+    vocab = {tok: i for i, tok in enumerate(byte_vocab)}
+    for a, b in MERGES:
+        merged = a + b
+        if merged not in vocab:
+            vocab[merged] = len(vocab)
+    i = 0
+    while len(vocab) < 900:
+        filler = f"<unused{i}>"
+        if filler not in vocab:
+            vocab[filler] = len(vocab)
+        i += 1
+    specials = ["<|endoftext|>", "<|startoftranscript|>", "<|translate|>",
+                "<|transcribe|>", "<|startofprev|>", "<|nospeech|>",
+                "<|notimestamps|>"]
+    added = {tok: 900 + i for i, tok in enumerate(specials)}
+    with open(os.path.join(path, "vocab.json"), "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    with open(os.path.join(path, "merges.txt"), "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in MERGES:
+            f.write(f"{a} {b}\n")
+    with open(os.path.join(path, "added_tokens.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(added, f, ensure_ascii=False)
+    return {"added": added, "timestamp_begin": 907}
+
+
 def hf_tokenizer(path: str):
     """HF slow WhisperTokenizer over the same files, with the added
     specials registered in the exact same id order."""
