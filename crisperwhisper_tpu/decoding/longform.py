@@ -46,13 +46,33 @@ def _decode_window(params, arch, specials, opts, segment_features,
                    prompt, max_new, suppress, begin_suppress, align_sel,
                    temperature, rng, dtw_frames):
     """One batched decode of 30 s windows + on-device DTW. Returns host
-    arrays: sequences, num_generated, sum_logprobs, no_speech, jump_times."""
+    arrays: sequences, num_generated, avg_logprob_or_score, no_speech,
+    jump_times.
+
+    Dispatch matches generate_with_fallback (:1013-1016): beam search only
+    at temperature 0; any sampling temperature forces num_beams=1. With
+    beams, the returned score is sequences_scores (already
+    length-normalized) — the quantity _need_fallback consumes (:1266)."""
     encoder_out = encode(params, arch, segment_features)
-    res = greedy_decode_jit(
-        params, arch, specials, opts, encoder_out, jnp.asarray(prompt),
-        max_new, suppress_mask=suppress, begin_suppress_mask=begin_suppress,
-        align_sel=align_sel, return_timestamps=opts.return_timestamps,
-        temperature=temperature, rng=rng)
+    use_beams = opts.num_beams > 1 and temperature == 0.0
+    if use_beams:
+        from .beam import beam_decode_jit
+        res = beam_decode_jit(
+            params, arch, specials, opts, encoder_out, jnp.asarray(prompt),
+            max_new, opts.num_beams, suppress_mask=suppress,
+            begin_suppress_mask=begin_suppress, align_sel=align_sel,
+            return_timestamps=opts.return_timestamps)
+        score = np.asarray(res.sequences_scores)
+        is_normalized = True
+    else:
+        res = greedy_decode_jit(
+            params, arch, specials, opts, encoder_out, jnp.asarray(prompt),
+            max_new, suppress_mask=suppress,
+            begin_suppress_mask=begin_suppress,
+            align_sel=align_sel, return_timestamps=opts.return_timestamps,
+            temperature=temperature, rng=rng)
+        score = np.asarray(res.sum_logprobs)
+        is_normalized = False
     jump_times = None
     if align_sel is not None:
         n_tokens = jnp.maximum(res.num_generated - 1, 0)
@@ -61,7 +81,7 @@ def _decode_window(params, arch, specials, opts, segment_features,
             n_tokens, jnp.asarray(dtw_frames, jnp.int32))
         jump_times = np.asarray(jumps).astype(np.float32) * opts.time_precision
     return (np.asarray(res.sequences), np.asarray(res.num_generated),
-            np.asarray(res.sum_logprobs), np.asarray(res.no_speech_probs),
+            score, is_normalized, np.asarray(res.no_speech_probs),
             jump_times)
 
 
@@ -136,7 +156,7 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
         results: list[Any] = [None] * b
         for t_idx, temperature in enumerate(opts.temperatures):
             rng, sub = jax.random.split(rng)
-            seqs, ngen, sum_lp, no_sp, jt = _decode_window(
+            seqs, ngen, score, normalized, no_sp, jt = _decode_window(
                 params, arch, specials, opts, jnp.asarray(segment), prompt,
                 max_new, suppress, begin_suppress, align_sel,
                 float(temperature), sub, dtw_frames)
@@ -146,7 +166,8 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                     continue
                 g = int(ngen[i])
                 seq_with_eos = seqs[i, p:p + g]
-                avg_lp = (sum_lp[i] / g) if g > 0 else 0.0
+                avg_lp = (score[i] if normalized
+                          else (score[i] / g) if g > 0 else 0.0)
                 nf, skip = need_fallback(seq_with_eos, avg_lp, no_sp[i],
                                          arch.vocab_size, opts)
                 if not nf or is_last:

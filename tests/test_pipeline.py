@@ -120,6 +120,40 @@ def test_pipeline_segment_timestamps_parity(hf_pipe, our_pipe):
         assert o["timestamp"] == tuple(g["timestamp"])
 
 
+def test_pipeline_beam5_default_parity(hf_pipe, vocab_dir):
+    """transformers' ASR pipeline default (num_beams=5) vs our pipeline
+    with num_beams=5 — the reference's true effective decode."""
+    from transformers import WhisperFeatureExtractor, pipeline
+    tm, _ = hf_pipe
+    tok = hf_tokenizer(vocab_dir)
+    tok.pad_token = "<|endoftext|>"
+    fe = WhisperFeatureExtractor(feature_size=80, chunk_length=CHUNK_S)
+    pipe5 = pipeline("automatic-speech-recognition", model=tm,
+                     tokenizer=tok, feature_extractor=fe,
+                     chunk_length_s=CHUNK_S, batch_size=2,
+                     return_timestamps="word",
+                     generate_kwargs={"max_new_tokens": 32, "num_beams": 5})
+    params = params_from_state_dict(state_dict_numpy(tm), tiny_arch(),
+                                    dtype=jnp.float32)
+    gen_opts = GenerationOptions(
+        alignment_heads=ALIGN_HEADS, median_filter_width=7,
+        max_initial_timestamp_index=50, compression_ratio_threshold=None,
+        logprob_threshold=None, no_speech_threshold=None,
+        temperatures=(0.0,), num_beams=5, max_new_tokens=32)
+    ours5 = ASRPipeline(params, tiny_arch(), our_tokenizer(vocab_dir),
+                        specials=TINY_SPECIALS, gen_opts=gen_opts,
+                        pipe_opts=PipelineOptions(chunk_length_s=CHUNK_S,
+                                                  batch_size=2,
+                                                  return_timestamps="word"),
+                        feat_cfg=FeatureConfig(feature_size=80,
+                                               chunk_length=CHUNK_S))
+    audio = _audio(8.0, seed=4)
+    golden = pipe5(audio.copy(), return_timestamps="word")
+    got = ours5({"raw": audio, "sampling_rate": 16000},
+                return_timestamps="word")
+    _compare_outputs(golden, got)
+
+
 def test_pipeline_adjust_pauses_end_to_end(our_pipe):
     audio = _audio(6.0, seed=3)
     plain = our_pipe({"raw": audio, "sampling_rate": 16000},
