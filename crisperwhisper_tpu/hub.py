@@ -1,0 +1,90 @@
+"""Checkpoint-directory loading: the `from_pretrained`-equivalent glue.
+
+Replaces the reference's model/processor construction
+(ref:transcribe.py:14-19: AutoModelForSpeechSeq2Seq + AutoProcessor from
+the hub) for LOCAL checkpoint directories in HF format: config.json,
+generation_config.json, preprocessor_config.json, *.safetensors,
+vocab.json/merges.txt/added_tokens.json. No network access is assumed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Any
+
+import jax.numpy as jnp
+
+from .config import (FeatureConfig, GenerationOptions, PipelineOptions,
+                     SpecialTokens, WhisperArch, load_checkpoint_configs)
+from .models.loader import load_params
+from .pipeline.asr import ASRPipeline, specials_from_tokenizer
+from .tokenizer.whisper_tokenizer import WhisperTokenizer
+
+
+def load_generation_options(gc: dict[str, Any],
+                            base: GenerationOptions = GenerationOptions()
+                            ) -> GenerationOptions:
+    """Map a parsed generation_config.json onto GenerationOptions."""
+    kw: dict[str, Any] = {}
+    if gc.get("alignment_heads"):
+        kw["alignment_heads"] = tuple(tuple(h) for h in gc["alignment_heads"])
+    if gc.get("suppress_tokens"):
+        kw["suppress_tokens"] = tuple(gc["suppress_tokens"])
+    if gc.get("begin_suppress_tokens"):
+        kw["begin_suppress_tokens"] = tuple(gc["begin_suppress_tokens"])
+    for src, dst in (("max_initial_timestamp_index",
+                      "max_initial_timestamp_index"),
+                     ("no_speech_threshold", "no_speech_threshold"),
+                     ("logprob_threshold", "logprob_threshold"),
+                     ("compression_ratio_threshold",
+                      "compression_ratio_threshold"),
+                     ("num_beams", "num_beams"),
+                     ("condition_on_prev_tokens",
+                      "condition_on_prev_tokens")):
+        if gc.get(src) is not None:
+            kw[dst] = gc[src]
+    if gc.get("temperature") is not None:
+        t = gc["temperature"]
+        kw["temperatures"] = tuple(t) if isinstance(t, (list, tuple)) \
+            else (float(t),)
+    return replace(base, **kw)
+
+
+def load_pipeline(model_dir: str, *,
+                  dtype=jnp.bfloat16,
+                  gen_opts: GenerationOptions | None = None,
+                  pipe_opts: PipelineOptions = PipelineOptions(),
+                  language: str | None = None,
+                  median_filter_width: int | None = None,
+                  sharding: Any | None = None) -> ASRPipeline:
+    """Build the full ASR pipeline from a local checkpoint directory —
+    the one-call equivalent of ref:transcribe.py:8-31."""
+    cfgs = load_checkpoint_configs(model_dir)
+    arch = WhisperArch.from_hf_config(cfgs["config"])
+    params, _ = load_params(model_dir, arch, dtype=dtype, sharding=sharding)
+    tokenizer = WhisperTokenizer.from_dir(model_dir)
+
+    opts = gen_opts or load_generation_options(cfgs["generation_config"])
+    mfw = (median_filter_width
+           if median_filter_width is not None
+           else cfgs["config"].get("median_filter_width"))
+    kw: dict[str, Any] = {}
+    if mfw:
+        kw["median_filter_width"] = mfw
+    if language:
+        kw["language"] = language
+    if kw:
+        opts = replace(opts, **kw)
+
+    pp = cfgs["preprocessor_config"]
+    feat_cfg = FeatureConfig(
+        feature_size=pp.get("feature_size", arch.num_mel_bins),
+        sampling_rate=pp.get("sampling_rate", 16000),
+        n_fft=pp.get("n_fft", 400),
+        hop_length=pp.get("hop_length", 160),
+        chunk_length=pp.get("chunk_length", 30))
+
+    specials = specials_from_tokenizer(tokenizer)
+    return ASRPipeline(params, arch, tokenizer, specials=specials,
+                       gen_opts=opts, pipe_opts=pipe_opts,
+                       feat_cfg=feat_cfg)

@@ -172,7 +172,7 @@ def encode(params: Params, arch: WhisperArch,
     if input_features.shape[-1] != 2 * arch.max_source_positions:
         raise ValueError("encoder requires exactly "
                          f"{2 * arch.max_source_positions} mel frames")
-    x = input_features
+    x = input_features.astype(enc["conv1"]["w"].dtype)
     x = gelu(_conv1d(x, enc["conv1"]["w"], enc["conv1"]["b"], stride=1))
     x = gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], stride=2))
     x = jnp.swapaxes(x, -2, -1)                      # [B, 1500, d]

@@ -1,0 +1,171 @@
+"""Multi-stream serving batcher (BASELINE.json config 5).
+
+The reference's only batching is the DataLoader collation inside one
+pipeline call (SURVEY.md §2.6 — "the only parallelism in the system").
+For production serving we want N concurrent audio streams to share the
+device: every stream's 30 s chunk windows land in one global queue, a
+worker drains it into fixed-size device batches (padding the tail with
+dummy rows so ONE compiled program serves every batch), and per-stream
+results are stitched + delivered when that stream's chunks complete.
+
+Thread model: callers submit from any thread; a single worker thread owns
+the device (JAX dispatch is not thread-safe across concurrent traces).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from ..pipeline.asr import ASRPipeline, Chunk, chunk_iter
+
+
+@dataclass
+class _Request:
+    request_id: int
+    n_chunks: int
+    return_timestamps: Any
+    adjust_pauses_threshold: float | None
+    outputs: list = field(default_factory=list)
+    done: threading.Event = field(default_factory=threading.Event)
+    result: dict | None = None
+    error: Exception | None = None
+
+
+class StreamHandle:
+    """Future-like handle for one submitted stream."""
+
+    def __init__(self, req: _Request):
+        self._req = req
+
+    def result(self, timeout: float | None = None) -> dict:
+        if not self._req.done.wait(timeout):
+            raise TimeoutError("transcription not finished")
+        if self._req.error is not None:
+            raise self._req.error
+        return self._req.result  # type: ignore[return-value]
+
+    def done(self) -> bool:
+        return self._req.done.is_set()
+
+
+class StreamingBatcher:
+    """Cross-stream chunk batcher over one ASRPipeline."""
+
+    def __init__(self, pipeline: ASRPipeline,
+                 max_batch_delay_s: float = 0.05):
+        self.pipeline = pipeline
+        self.max_batch_delay_s = max_batch_delay_s
+        self._queue: queue.Queue = queue.Queue()
+        self._requests: dict[int, _Request] = {}
+        self._lock = threading.Lock()
+        self._next_id = 0
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, audio: Any, return_timestamps: Any = "word",
+               adjust_pauses_threshold: float | None = None) -> StreamHandle:
+        from ..audio.io import load_audio
+        cfg = self.pipeline.feat_cfg
+        sr = cfg.sampling_rate
+        sl_s, sr_s = self.pipeline.pipe_opts.strides()
+        n_samples = int(round(self.pipeline.pipe_opts.chunk_length_s * sr))
+        samples = load_audio(audio, sr)
+        chunks = list(chunk_iter(samples, 0, n_samples,
+                                 int(round(sl_s * sr)),
+                                 int(round(sr_s * sr))))
+        with self._lock:
+            rid = self._next_id
+            self._next_id += 1
+            req = _Request(rid, len(chunks), return_timestamps,
+                           adjust_pauses_threshold)
+            self._requests[rid] = req
+        for pos, c in enumerate(chunks):
+            self._queue.put((rid, pos, c))
+        return StreamHandle(req)
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _run(self) -> None:
+        bs = self.pipeline.pipe_opts.batch_size
+        n_samples = int(round(self.pipeline.pipe_opts.chunk_length_s
+                              * self.pipeline.feat_cfg.sampling_rate))
+        while not self._stop.is_set():
+            batch: list[tuple[int, int, Chunk]] = []
+            try:
+                batch.append(self._queue.get(timeout=0.1))
+            except queue.Empty:
+                continue
+            deadline = time.monotonic() + self.max_batch_delay_s
+            while len(batch) < bs:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                self._process(batch, n_samples)
+            except Exception as e:                     # fail the streams
+                with self._lock:
+                    for rid, _, _ in batch:
+                        req = self._requests.get(rid)
+                        if req is not None and not req.done.is_set():
+                            req.error = e
+                            req.done.set()
+
+    def _process(self, batch, n_samples) -> None:
+        want_words = any(r.return_timestamps == "word"
+                         for rid, _, _ in batch
+                         for r in [self._requests[rid]])
+        chunks = [c for _, _, c in batch]
+        outs = self.pipeline._run_chunks(
+            chunks, n_samples, "word" if want_words else True)
+        finished: list[_Request] = []
+        with self._lock:
+            for (rid, pos, c), out in zip(batch, outs):
+                req = self._requests[rid]
+                req.outputs.append((pos, c, out))
+                if len(req.outputs) == req.n_chunks:
+                    finished.append(req)
+                    del self._requests[rid]
+        for req in finished:
+            self._finalize(req)
+
+    def _finalize(self, req: _Request) -> None:
+        from ..pipeline.pauses import adjust_pauses
+        from ..tokenizer.stitcher import decode_asr
+        cfg = self.pipeline.feat_cfg
+        sr = cfg.sampling_rate
+        model_outputs = []
+        for pos, c, out in sorted(req.outputs, key=lambda x: x[0]):
+            cl, left, right = out["stride"]
+            out = dict(out)
+            out["stride"] = (cl / sr, left / sr, right / sr)
+            model_outputs.append(out)
+        time_precision = cfg.chunk_length / \
+            self.pipeline.arch.max_source_positions
+        try:
+            text, optional = decode_asr(
+                self.pipeline.tokenizer, model_outputs,
+                return_timestamps=req.return_timestamps,
+                return_language=False, time_precision=time_precision)
+            result = {"text": text, **optional}
+            if (req.adjust_pauses_threshold is not None
+                    and req.return_timestamps == "word"):
+                result = adjust_pauses(result, req.adjust_pauses_threshold)
+            req.result = result
+        except Exception as e:
+            req.error = e
+        req.done.set()

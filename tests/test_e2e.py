@@ -1,0 +1,119 @@
+"""End-to-end: checkpoint dir -> load_pipeline -> CLI / serving batcher.
+
+Exercises the from_pretrained-equivalent glue (hub.py), the safetensors
+loader on a real on-disk checkpoint, the CLI (ref:transcribe.py surface),
+and the multi-stream batcher (BASELINE config 5)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from helpers import TINY, TINY_SPECIALS, state_dict_numpy, torch_tiny_model
+from vocab_fixture import build_model_vocab_dir
+
+ALIGN_HEADS = [[0, 1], [1, 3], [0, 2]]
+CHUNK_S = 5
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    """Write a complete HF-format checkpoint directory for the tiny model."""
+    import torch
+    from safetensors.torch import save_file
+
+    path = str(tmp_path_factory.mktemp("ckpt"))
+    build_model_vocab_dir(path)
+    tm = torch_tiny_model(seed=0)
+    sd = {k: v.contiguous() for k, v in tm.state_dict().items()
+          if k != "proj_out.weight"}
+    save_file(sd, os.path.join(path, "model.safetensors"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({**TINY, "model_type": "whisper",
+                   "median_filter_width": 7}, f)
+    with open(os.path.join(path, "generation_config.json"), "w") as f:
+        json.dump({
+            "alignment_heads": ALIGN_HEADS,
+            "max_initial_timestamp_index": 50,
+            "no_timestamps_token_id": TINY_SPECIALS.no_timestamps,
+            "eos_token_id": TINY_SPECIALS.eot,
+            "decoder_start_token_id": TINY_SPECIALS.sot,
+            "temperature": 0.0,
+        }, f)
+    with open(os.path.join(path, "preprocessor_config.json"), "w") as f:
+        json.dump({"feature_size": 80, "sampling_rate": 16000,
+                   "n_fft": 400, "hop_length": 160,
+                   "chunk_length": CHUNK_S}, f)
+    return path
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory):
+    from scipy.io import wavfile
+    rng = np.random.default_rng(0)
+    n = 7 * 16000
+    t = np.arange(n) / 16000.0
+    audio = (0.2 * np.sin(2 * np.pi * 300 * t)
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    path = str(tmp_path_factory.mktemp("audio") / "test.wav")
+    wavfile.write(path, 16000, (audio * 32767).astype(np.int16))
+    return path
+
+
+@pytest.fixture(scope="module")
+def pipe(ckpt_dir):
+    import jax.numpy as jnp
+    from crisperwhisper_tpu.config import PipelineOptions
+    from crisperwhisper_tpu.hub import load_pipeline
+    return load_pipeline(
+        ckpt_dir, dtype=jnp.float32,
+        pipe_opts=PipelineOptions(chunk_length_s=CHUNK_S, batch_size=4,
+                                  return_timestamps="word"))
+
+
+def test_load_pipeline_and_transcribe(pipe, wav_path):
+    out = pipe(wav_path, return_timestamps="word")
+    assert isinstance(out["text"], str)
+    assert len(out["chunks"]) > 0
+    for c in out["chunks"]:
+        s, e = c["timestamp"]
+        # random-model outputs can have locally non-monotonic merged
+        # boundaries (the HF stitcher has the same property); just check
+        # the values are sane floats within the audio span
+        assert 0.0 <= s <= 60.0 and 0.0 <= e <= 60.0
+
+
+def test_cli(ckpt_dir, wav_path, capsys):
+    from crisperwhisper_tpu.cli import main
+    rc = main(["--f", wav_path, "--model", ckpt_dir,
+               "--chunk-length-s", str(CHUNK_S), "--batch-size", "4",
+               "--adjust-pauses", "0.12", "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(out)
+    assert "text" in result and "chunks" in result
+
+
+def test_cli_missing_file(ckpt_dir, capsys):
+    from crisperwhisper_tpu.cli import main
+    assert main(["--f", "/nonexistent.wav", "--model", ckpt_dir]) == 1
+
+
+def test_streaming_batcher_multi_stream(pipe, wav_path):
+    from crisperwhisper_tpu.audio.io import read_wav
+    from crisperwhisper_tpu.serving import StreamingBatcher
+    _, audio = read_wav(wav_path)
+    # reference single-shot results
+    ref = pipe({"raw": audio, "sampling_rate": 16000},
+               return_timestamps="word")
+    batcher = StreamingBatcher(pipe)
+    try:
+        handles = [batcher.submit({"raw": audio, "sampling_rate": 16000})
+                   for _ in range(4)]
+        results = [h.result(timeout=300) for h in handles]
+    finally:
+        batcher.shutdown()
+    for r in results:
+        assert r["text"] == ref["text"]
+        assert len(r["chunks"]) == len(ref["chunks"])
