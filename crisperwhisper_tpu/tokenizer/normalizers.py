@@ -1,0 +1,153 @@
+"""Text normalizers for WER evaluation.
+
+Behavioral ports of hf models/whisper/english_normalizer.py (eval-only —
+not in the serving path, SURVEY.md §2.5):
+  * BasicTextNormalizer (:77-93) — bracket/paren removal, symbol (and
+    optionally diacritic) stripping, lowercase, whitespace collapse.
+  * EnglishTextNormalizer (:512-597) — filler/hesitation removal
+    ([UH]-style bracketed text :576, "hmm/mm/mhm/mmm/uh/um" :514/:578),
+    contraction expansion, British/American spelling map (supplied as the
+    checkpoint's normalizer.json), punctuation and unit cleanup.
+
+The full EnglishNumberNormalizer (spelled numbers -> digits, :96-498) is
+not yet ported; `normalize_numbers=False` keeps spelled numbers as words.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+ADDITIONAL_DIACRITICS = {
+    "œ": "oe", "Œ": "OE", "ø": "o", "Ø": "O", "æ": "ae", "Æ": "AE",
+    "ß": "ss", "ẞ": "SS", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "th", "ł": "l", "Ł": "L",
+}
+
+
+def remove_symbols_and_diacritics(s: str, keep: str = "") -> str:
+    """NFKD-decompose; drop diacritic marks; map symbols/punct to space."""
+    def repl(char):
+        if char in keep:
+            return char
+        if char in ADDITIONAL_DIACRITICS:
+            return ADDITIONAL_DIACRITICS[char]
+        cat = unicodedata.category(char)
+        if cat == "Mn":
+            return ""
+        if cat[0] in "MSP":
+            return " "
+        return char
+    return "".join(repl(c) for c in unicodedata.normalize("NFKD", s))
+
+
+def remove_symbols(s: str) -> str:
+    return "".join(" " if unicodedata.category(c)[0] in "MSP" else c
+                   for c in unicodedata.normalize("NFKC", s))
+
+
+class BasicTextNormalizer:
+    def __init__(self, remove_diacritics: bool = False,
+                 split_letters: bool = False):
+        self.clean = (remove_symbols_and_diacritics if remove_diacritics
+                      else remove_symbols)
+        self.split_letters = split_letters
+
+    def __call__(self, s: str) -> str:
+        s = s.lower()
+        s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)   # words between brackets
+        s = re.sub(r"\(([^)]+?)\)", "", s)        # words between parens
+        s = self.clean(s).lower()
+        if self.split_letters:
+            s = " ".join(re.findall(r"\X", s, re.UNICODE))
+        # NOTE: like the reference (:93), no strip — replace runs only
+        return re.sub(r"\s+", " ", s)
+
+
+class EnglishTextNormalizer:
+    """Verbatim-aware English normalizer. `english_spelling_mapping` is the
+    checkpoint's normalizer.json ({british: american})."""
+
+    def __init__(self, english_spelling_mapping: dict[str, str]
+                 | None = None):
+        self.ignore_patterns = \
+            r"\b(hmm|mm|mhm|mmm|uh|um)\b"
+        self.replacers = {
+            # common contractions
+            r"\bwon't\b": "will not",
+            r"\bcan't\b": "can not",
+            r"\blet's\b": "let us",
+            r"\bain't\b": "aint",
+            r"\by'all\b": "you all",
+            r"\bwanna\b": "want to",
+            r"\bgotta\b": "got to",
+            r"\bgonna\b": "going to",
+            r"\bi'ma\b": "i am going to",
+            r"\bimma\b": "i am going to",
+            r"\bwoulda\b": "would have",
+            r"\bcoulda\b": "could have",
+            r"\bshoulda\b": "should have",
+            r"\bma'am\b": "madam",
+            # contractions in titles/abbreviations
+            r"\bmr\b": "mister ",
+            r"\bmrs\b": "missus ",
+            r"\bst\b": "saint ",
+            r"\bdr\b": "doctor ",
+            r"\bprof\b": "professor ",
+            r"\bcapt\b": "captain ",
+            r"\bgov\b": "governor ",
+            r"\bald\b": "alderman ",
+            r"\bgen\b": "general ",
+            r"\bsen\b": "senator ",
+            r"\brep\b": "representative ",
+            r"\bpres\b": "president ",
+            r"\brev\b": "reverend ",
+            r"\bhon\b": "honorable ",
+            r"\basst\b": "assistant ",
+            r"\bassoc\b": "associate ",
+            r"\blt\b": "lieutenant ",
+            r"\bcol\b": "colonel ",
+            r"\bjr\b": "junior ",
+            r"\bsr\b": "senior ",
+            r"\besq\b": "esquire ",
+            # epenthetic vocalization
+            r"'d been\b": " had been",
+            r"'s been\b": " has been",
+            r"'d gone\b": " had gone",
+            r"'s gone\b": " has gone",
+            r"'d done\b": " had done",
+            r"'s got\b": " has got",
+            # general contractions
+            r"n't\b": " not",
+            r"'re\b": " are",
+            r"'s\b": " is",
+            r"'d\b": " would",
+            r"'ll\b": " will",
+            r"'t\b": " not",
+            r"'ve\b": " have",
+            r"'m\b": " am",
+        }
+        self.standardize_spellings = english_spelling_mapping or {}
+
+    def __call__(self, s: str) -> str:
+        s = s.lower()
+        s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)   # drops [UH]/[UM] fillers
+        s = re.sub(r"\(([^)]+?)\)", "", s)
+        s = re.sub(self.ignore_patterns, "", s)
+        s = re.sub(r"\s+'", "'", s)               # standardize apostrophe
+
+        for pattern, replacement in self.replacers.items():
+            s = re.sub(pattern, replacement, s)
+
+        s = re.sub(r"(\d),(\d)", r"\1\2", s)      # remove commas in numbers
+        s = re.sub(r"\.([^0-9]|$)", r" \1", s)    # periods not in numbers
+        s = remove_symbols_and_diacritics(s, keep=".%$¢€£")
+
+        s = re.sub(r"[.$¢€£]([^0-9])", r" \1", s)
+        s = re.sub(r"([^0-9])%", r"\1 ", s)
+
+        for british, american in self.standardize_spellings.items():
+            s = re.sub(rf"\b{re.escape(british)}\b", american, s)
+
+        s = re.sub(r"\s+", " ", s)
+        return s.strip()

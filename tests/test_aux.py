@@ -1,0 +1,94 @@
+"""Aux components: normalizers, app building blocks, audio IO."""
+
+import numpy as np
+import pytest
+
+
+def test_basic_normalizer_matches_hf():
+    from transformers.models.whisper.english_normalizer import \
+        BasicTextNormalizer as HFBasic
+    from crisperwhisper_tpu.tokenizer.normalizers import BasicTextNormalizer
+    ours = BasicTextNormalizer()
+    hf = HFBasic()
+    for s in ["Hello, World!", "um [UH] so... (noise) THE cat",
+              "  a  b\tc ", "naïve café — no?"]:
+        assert ours(s) == hf(s), s
+
+
+def test_english_normalizer_fillers_and_contractions():
+    from crisperwhisper_tpu.tokenizer.normalizers import \
+        EnglishTextNormalizer
+    norm = EnglishTextNormalizer({"colour": "color"})
+    assert norm("Um, I [UH] won't do that.") == "i will not do that"
+    assert norm("the colour hmm is nice") == "the color is nice"
+    out = norm("he's gone and they're mm here")
+    assert out == "he has gone and they are here"
+
+
+def test_vtt_rendering():
+    from crisperwhisper_tpu.app import timestamps_to_vtt
+    vtt = timestamps_to_vtt([
+        {"text": " hello", "timestamp": (0.0, 0.5)},
+        {"text": " world", "timestamp": (0.6, 1.25)},
+    ])
+    assert vtt.startswith("WEBVTT")
+    assert "00:00:00.000 --> 00:00:00.500" in vtt
+    assert "00:00:00.600 --> 00:00:01.250" in vtt
+    assert "hello" in vtt and "world" in vtt
+
+
+def test_process_audio_bytes_roundtrip():
+    import io
+    from scipy.io import wavfile
+    from crisperwhisper_tpu.app import process_audio_bytes
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+    buf = io.BytesIO()
+    wavfile.write(buf, 8000, (audio * 32767).astype(np.int16))
+    out = process_audio_bytes(buf.getvalue(), target_sr=16000)
+    assert out.shape[0] == 16000          # resampled 8k -> 16k
+    assert abs(float(np.std(out)) - 1 / 8) < 0.02   # z-score / 8
+
+
+def test_resample_identity_and_ratio():
+    from crisperwhisper_tpu.audio.io import resample
+    x = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
+    assert resample(x, 16000, 16000) is not None
+    y = resample(x, 16000, 8000)
+    assert abs(len(y) - 8000) <= 1
+
+
+def test_read_wav_formats(tmp_path):
+    from scipy.io import wavfile
+    from crisperwhisper_tpu.audio.io import load_audio, read_wav
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(1600) * 0.2).astype(np.float32)
+    p16 = str(tmp_path / "a16.wav")
+    wavfile.write(p16, 16000, (audio * 32767).astype(np.int16))
+    sr, data = read_wav(p16)
+    assert sr == 16000
+    np.testing.assert_allclose(data, audio, atol=2e-4)
+    # stereo -> mono
+    pst = str(tmp_path / "st.wav")
+    wavfile.write(pst, 16000,
+                  np.stack([audio, -audio], 1).astype(np.float32))
+    _, mono = read_wav(pst)
+    np.testing.assert_allclose(mono, np.zeros_like(audio), atol=1e-6)
+    # load_audio on path
+    out = load_audio(p16, 16000)
+    assert out.shape == audio.shape
+
+
+def test_language_detection_shape():
+    import jax, jax.numpy as jnp
+    from crisperwhisper_tpu.decoding.language import detect_language
+    from crisperwhisper_tpu.models import encode, init_params
+    from helpers import TINY_SPECIALS, rand_mel, tiny_arch
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    enc = encode(params, arch, jnp.asarray(rand_mel(batch=2)))
+    langs = np.asarray(detect_language(params, arch, TINY_SPECIALS, enc,
+                                       num_languages=5))
+    assert langs.shape == (2,)
+    assert ((langs >= TINY_SPECIALS.language_begin)
+            & (langs < TINY_SPECIALS.language_begin + 5)).all()
