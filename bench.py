@@ -34,10 +34,11 @@ from crisperwhisper_tpu.models import (alignment_selector, encode,
                                        init_params)
 from crisperwhisper_tpu.ops.alignment import attention_to_jump_times
 
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("BENCH_BATCH", "24"))
 DECODE_TOKENS = int(os.environ.get("BENCH_TOKENS", "128"))
 ITERS = int(os.environ.get("BENCH_ITERS", "4"))
 N_ALIGN_HEADS = 15     # CrisperWhisper fine-tunes 15 heads (README:295)
+KV_INT8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
 
 
 def main():
@@ -68,7 +69,8 @@ def main():
         res = greedy_decode_jit(
             params, arch, sp, opts, enc, prompt, DECODE_TOKENS,
             suppress_mask=suppress, align_sel=align_sel,
-            align_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+            align_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            cross_cache_dtype=jnp.int8 if (KV_INT8 and on_tpu) else None)
         jumps = attention_to_jump_times(
             res.align_probs.astype(jnp.float32), 7,
             jnp.maximum(res.num_generated - 1, 0),

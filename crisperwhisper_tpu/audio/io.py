@@ -49,8 +49,27 @@ def ffmpeg_read(bpayload: bytes, sampling_rate: int = DEFAULT_SR
 
 
 def read_wav(path_or_bytes: Any) -> tuple[int, np.ndarray]:
-    """Read a WAV file (path or bytes) -> (sample_rate, f32 mono array)."""
+    """Read a WAV file (path or bytes) -> (sample_rate, f32 mono array).
+    Uses the native C++ RIFF decoder when available; scipy fallback."""
     import io as _io
+
+    payload = None
+    if isinstance(path_or_bytes, bytes):
+        payload = path_or_bytes
+    elif isinstance(path_or_bytes, str):
+        try:
+            with open(path_or_bytes, "rb") as f:
+                payload = f.read()
+        except OSError:
+            payload = None
+    if payload is not None:
+        try:
+            from ..native_bindings import native_read_wav
+            out = native_read_wav(payload)
+            if out is not None:
+                return out
+        except Exception:
+            pass
 
     from scipy.io import wavfile
 

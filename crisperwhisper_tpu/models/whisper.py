@@ -208,17 +208,6 @@ class DecoderCache(NamedTuple):
     cross_k_scale: jax.Array | None = None
     cross_v_scale: jax.Array | None = None
 
-    def cross_kv(self, layer_k: jax.Array, layer_v: jax.Array,
-                 k_scale: jax.Array | None, v_scale: jax.Array | None,
-                 dtype: jnp.dtype) -> tuple[jax.Array, jax.Array]:
-        """Dequantize one layer's cross K/V (fused into the attention
-        matmul's input read by XLA — int8 bytes come from HBM)."""
-        if k_scale is None:
-            return layer_k, layer_v
-        k = layer_k.astype(dtype) * k_scale.astype(dtype)
-        v = layer_v.astype(dtype) * v_scale.astype(dtype)
-        return k, v
-
 
 def _quantize_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Symmetric int8 over the last axis: returns (q, scale[..., :1])."""
@@ -315,13 +304,21 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     # new [B, H, 1, Dh] row instead of materializing stacked multi-GB
     # scan outputs (the naive ys formulation copies the whole cache every
     # token and dominates decode time).
+    # int8 cross-attention path selection: the folded-scale XLA form
+    # (ops/decode_attention.dequant_reference) fuses the int8->bf16 convert
+    # into the dot and measures FASTER than the per-(b,h) Pallas micro-
+    # kernel (whose 320-program grid is sequencing-overhead-bound at
+    # q_len=1). Keep the kernel behind an env flag for future tuning.
+    use_int8_kernel = False
+    if quantized:
+        import os
+        from ..ops.fused_attention import supports_pallas
+        use_int8_kernel = (supports_pallas()
+                           and os.environ.get("CW_INT8_PALLAS") == "1")
+
     def body(carry, layer_in):
         hidden, self_k, self_v = carry
         li, lp, layer_cross_k, layer_cross_v, kv_scales, sel = layer_in
-        layer_cross_k, layer_cross_v = cache.cross_kv(
-            layer_cross_k, layer_cross_v,
-            kv_scales[0] if quantized else None,
-            kv_scales[1] if quantized else None, dtype)
         # --- self-attention against the ring cache
         y = layer_norm(hidden, lp["ln1"])
         q = _split_heads(dense(y, lp["self"]["q"]) * scale, h)
@@ -338,10 +335,21 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         # --- cross-attention against cached encoder K/V
         y = layer_norm(hidden, lp["ln2"])
         qc = _split_heads(dense(y, lp["cross"]["q"]) * scale, h)
-        cross_out, cross_probs = attention(qc, layer_cross_k, layer_cross_v)
+        if quantized:
+            from ..ops.decode_attention import (cross_attention_int8,
+                                                dequant_reference)
+            fn = cross_attention_int8 if use_int8_kernel \
+                else dequant_reference
+            cross_out, probs_row = fn(qc, layer_cross_k, kv_scales[0],
+                                      layer_cross_v, kv_scales[1])
+            cross_out = cross_out.astype(hidden.dtype)
+        else:
+            cross_out, cross_probs = attention(qc, layer_cross_k,
+                                               layer_cross_v)
+            probs_row = cross_probs[:, :, 0, :]
         hidden = hidden + dense(_merge_heads(cross_out), lp["cross"]["o"])
-        # in-graph alignment-head selection: [B,H,1,K] x [H,A] -> [B,A,K]
-        aligned = jnp.einsum("bhk,ha->bak", cross_probs[:, :, 0, :], sel,
+        # in-graph alignment-head selection: [B,H,K] x [H,A] -> [B,A,K]
+        aligned = jnp.einsum("bhk,ha->bak", probs_row, sel,
                              preferred_element_type=jnp.float32)
         # --- MLP
         hidden = hidden + mlp_block(layer_norm(hidden, lp["ln3"]), lp["mlp"])

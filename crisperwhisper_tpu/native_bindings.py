@@ -1,0 +1,171 @@
+"""ctypes bindings for the native C++ helpers (native/cwtpu.cpp).
+
+Builds libcwtpu.so on first use (g++ -O2 -shared); every consumer has a
+pure-Python fallback, so a missing compiler degrades gracefully.
+
+Components (SURVEY.md §2.7 native plan):
+  * fast BPE decode        — replaces the reference's Rust `tokenizers`
+  * WAV/PCM reader         — replaces the ffmpeg subprocess for WAV input
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LIB_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_FAILED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libcwtpu.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "cwtpu.cpp")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+             "-o", _SO_PATH, _SRC_PATH],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _LIB, _LIB_FAILED
+    with _LIB_LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        if not os.path.exists(_SO_PATH) or (
+                os.path.exists(_SRC_PATH)
+                and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)):
+            if not os.path.exists(_SRC_PATH) or not _build():
+                _LIB_FAILED = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _LIB_FAILED = True
+            return None
+        lib.cw_vocab_load.restype = ctypes.c_void_p
+        lib.cw_vocab_load.argtypes = [ctypes.c_char_p]
+        lib.cw_vocab_free.argtypes = [ctypes.c_void_p]
+        lib.cw_decode.restype = ctypes.c_int64
+        lib.cw_decode.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64]
+        lib.cw_wav_decode.restype = ctypes.c_int64
+        lib.cw_wav_decode.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64]
+        lib.cw_wav_info.restype = ctypes.c_int
+        lib.cw_wav_info.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64] + [ctypes.POINTER(ctypes.c_int32)] * 4 \
+            + [ctypes.POINTER(ctypes.c_int64)] * 2
+        _LIB = lib
+        return _LIB
+
+
+class NativeBPEDecoder:
+    """id-sequence -> utf-8 text through the C++ codec.
+
+    The vocab blob resolves the GPT-2 byte-level indirection ahead of time
+    (id -> raw bytes), written once per tokenizer as 'vocab.cwvb'.
+    """
+
+    def __init__(self, bpe, cache_path: str | None = None):
+        self.lib = get_lib()
+        self.handle = None
+        if self.lib is None:
+            return
+        import tempfile
+        if cache_path is None:
+            cache_path = os.path.join(tempfile.gettempdir(),
+                                      f"cwvb_{id(bpe)}.cwvb")
+        if not os.path.exists(cache_path):
+            self._write_blob(bpe, cache_path)
+        self.handle = self.lib.cw_vocab_load(cache_path.encode())
+
+    @staticmethod
+    def _write_blob(bpe, path: str) -> None:
+        n = max(bpe.decoder.keys()) + 1 if bpe.decoder else 0
+        chunks: list[bytes] = []
+        offsets = np.zeros(n + 1, np.uint32)
+        total = 0
+        for i in range(n):
+            tok = bpe.decoder.get(i, "")
+            raw = bytes(bpe.byte_decoder.get(c, 0) for c in tok)
+            chunks.append(raw)
+            total += len(raw)
+            offsets[i + 1] = total
+        with open(path, "wb") as f:
+            f.write(b"CWVB")
+            f.write(np.uint32(n).tobytes())
+            f.write(offsets.tobytes())
+            f.write(b"".join(chunks))
+
+    @property
+    def available(self) -> bool:
+        return self.handle is not None
+
+    def decode(self, ids) -> str:
+        ids = np.ascontiguousarray(np.asarray(ids, np.int32))
+        cap = max(len(ids) * 16, 64)
+        out = np.empty(cap, np.uint8)
+        written = self.lib.cw_decode(self.handle, ids, len(ids), out, cap)
+        if written < 0:          # grow
+            cap *= 8
+            out = np.empty(cap, np.uint8)
+            written = self.lib.cw_decode(self.handle, ids, len(ids), out,
+                                         cap)
+        return out[:written].tobytes().decode("utf-8", errors="replace")
+
+    def __del__(self):
+        if self.lib is not None and self.handle:
+            try:
+                self.lib.cw_vocab_free(self.handle)
+            except Exception:
+                pass
+
+
+def native_read_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """WAV bytes -> (sample_rate, f32 mono) via C++; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(payload, np.uint8)
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    isf = ctypes.c_int32()
+    off = ctypes.c_int64()
+    dlen = ctypes.c_int64()
+    rc = lib.cw_wav_info(buf, len(buf), ctypes.byref(sr), ctypes.byref(ch),
+                         ctypes.byref(bits), ctypes.byref(isf),
+                         ctypes.byref(off), ctypes.byref(dlen))
+    if rc != 0:
+        return None
+    bytes_per = (bits.value // 8) * ch.value
+    if bytes_per <= 0:
+        return None
+    frames = dlen.value // bytes_per
+    out = np.empty(frames, np.float32)
+    n = lib.cw_wav_decode(buf, len(buf), out, frames)
+    if n < 0:
+        return None
+    return sr.value, out[:n]

@@ -66,6 +66,8 @@ class ByteLevelBPE:
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = unicode_to_bytes()
         self.cache: dict[str, str] = {}
+        self._native = None
+        self._native_tried = False
         if _HAS_REGEX:
             self.pat = _regex.compile(_PAT_STR)
         else:
@@ -143,5 +145,21 @@ class ByteLevelBPE:
         return data.decode("utf-8", errors="replace")
 
     def decode(self, ids: Iterable[int]) -> str:
+        ids = list(ids)
+        native = self._native_decoder()
+        if native is not None:
+            return native.decode([i for i in ids if i in self.decoder])
         return self.decode_tokens(self.decoder[i] for i in ids
                                   if i in self.decoder)
+
+    def _native_decoder(self):
+        """Lazy C++ codec (native/cwtpu.cpp); None if unbuildable."""
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from ..native_bindings import NativeBPEDecoder
+                dec = NativeBPEDecoder(self)
+                self._native = dec if dec.available else None
+            except Exception:
+                self._native = None
+        return self._native

@@ -1,0 +1,39 @@
+"""int8 cross-KV cache: quality and plumbing checks (CPU path)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from crisperwhisper_tpu.config import GenerationOptions
+from crisperwhisper_tpu.decoding import greedy_decode_jit
+from crisperwhisper_tpu.models import encode, init_params
+from crisperwhisper_tpu.models.whisper import _quantize_int8
+from helpers import TINY_SPECIALS, rand_mel, tiny_arch
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 100, 64)).astype(np.float32))
+    q, s = _quantize_int8(x)
+    deq = q.astype(jnp.float32) * s.astype(jnp.float32)
+    err = np.abs(np.asarray(deq - x))
+    amax = np.abs(np.asarray(x)).max(-1, keepdims=True)
+    assert (err <= amax / 127.0 + 1e-6).all()
+
+
+def test_int8_decode_token_agreement():
+    """Greedy tokens with the int8 cross cache should overwhelmingly agree
+    with bf16/f32 on the tiny model (small logit perturbation)."""
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    mel = rand_mel(batch=4, seed=9)
+    enc = encode(params, arch, jnp.asarray(mel))
+    prompt = jnp.full((4, 1), TINY_SPECIALS.sot, jnp.int32)
+    opts = GenerationOptions(max_initial_timestamp_index=50)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            16)
+    got = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            16, cross_cache_dtype=jnp.int8)
+    agree = (np.asarray(ref.sequences) == np.asarray(got.sequences)).mean()
+    assert agree >= 0.85, agree

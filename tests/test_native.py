@@ -1,0 +1,74 @@
+"""Native C++ components: build, BPE decode parity, WAV decode parity."""
+
+import numpy as np
+import pytest
+
+from vocab_fixture import build_vocab_dir, our_tokenizer
+
+
+@pytest.fixture(scope="module")
+def lib():
+    from crisperwhisper_tpu.native_bindings import get_lib
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("g++ unavailable — native library not built")
+    return lib
+
+
+@pytest.fixture(scope="module")
+def tok(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nvocab"))
+    build_vocab_dir(path)
+    return our_tokenizer(path)
+
+
+def test_native_bpe_decode_parity(lib, tok, tmp_path):
+    from crisperwhisper_tpu.native_bindings import NativeBPEDecoder
+    dec = NativeBPEDecoder(tok.bpe, cache_path=str(tmp_path / "v.cwvb"))
+    assert dec.available
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        ids = rng.integers(0, len(tok.bpe.encoder), size=50).tolist()
+        golden = tok.bpe.decode_tokens(
+            tok.bpe.decoder[i] for i in ids if i in tok.bpe.decoder)
+        assert dec.decode(ids) == golden
+    # multibyte utf-8 via byte tokens
+    text = " héllo wörld 你好"
+    ids = tok.bpe.encode(text)
+    assert dec.decode(ids) == text
+
+
+def test_native_wav_parity(lib, tmp_path):
+    import io
+    from scipy.io import wavfile
+    from crisperwhisper_tpu.native_bindings import native_read_wav
+    rng = np.random.default_rng(1)
+    audio = np.clip(rng.standard_normal(4000) * 0.3, -0.95,
+                    0.95).astype(np.float32)
+
+    for dtype, scale in [(np.int16, 32767), (np.float32, 1.0),
+                         (np.int32, 2147483647)]:
+        buf = io.BytesIO()
+        wavfile.write(buf, 16000, (audio * scale).astype(dtype))
+        out = native_read_wav(buf.getvalue())
+        assert out is not None, dtype
+        sr, data = out
+        assert sr == 16000
+        np.testing.assert_allclose(data, audio, atol=2e-4, err_msg=str(dtype))
+
+    # stereo mixdown
+    buf = io.BytesIO()
+    wavfile.write(buf, 8000, np.stack(
+        [(audio * 32767).astype(np.int16)] * 2, axis=1))
+    sr, data = native_read_wav(buf.getvalue())
+    assert sr == 8000
+    np.testing.assert_allclose(data, audio, atol=2e-4)
+
+
+def test_tokenizer_uses_native_transparently(tok):
+    """bpe.decode routes through C++ when available and must equal the
+    pure-Python path either way."""
+    ids = tok.bpe.encode(" hello world the cat")
+    via_decode = tok.bpe.decode(ids)
+    pure = tok.bpe.decode_tokens(tok.bpe.decoder[i] for i in ids)
+    assert via_decode == pure == " hello world the cat"
