@@ -268,7 +268,8 @@ def alignment_selector(arch: WhisperArch,
 
 def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
                 position: jax.Array, cache: DecoderCache,
-                align_sel: jax.Array | None = None
+                align_sel: jax.Array | None = None,
+                key_mask: jax.Array | None = None
                 ) -> tuple[jax.Array, DecoderCache, jax.Array]:
     """One incremental decoder step.
 
@@ -278,6 +279,11 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         are fed through the same step function).
       cache: DecoderCache to read/update.
       align_sel: optional [L, H, A] one-hot alignment-head projector.
+      key_mask: optional bool [B, cache_len] — positions a row may attend
+        to (False for left-pad slots of a conditioned prompt; the
+        decoder_attention_mask analog of hf _prepare_decoder_input_ids
+        :1936-1938). Positions still advance over pads, as in the
+        reference.
     Returns:
       (logits [B, vocab] f32, new cache, align_probs [B, A, 1500] f32 —
        zeros when align_sel is None).
@@ -295,6 +301,8 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     # causal mask over cache positions: attend to <= position
     pos_ids = jnp.arange(cache.self_k.shape[3])
     self_mask = (pos_ids <= position)[None, None, None, :]
+    if key_mask is not None:
+        self_mask = self_mask & key_mask[:, None, None, :]
 
     n_align = align_sel.shape[-1] if align_sel is not None else 1
     scale = arch.head_dim ** -0.5
