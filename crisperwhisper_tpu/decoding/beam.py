@@ -67,7 +67,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 begin_suppress_mask: jax.Array | None = None,
                 align_sel: jax.Array | None = None,
                 return_timestamps: bool = True,
-                align_dtype: jnp.dtype = jnp.float32) -> BeamResult:
+                align_dtype: jnp.dtype = jnp.float32,
+                prompt_mask: jax.Array | None = None) -> BeamResult:
     b, p = prompt.shape
     nb = num_beams
     k_frames = encoder_out.shape[1]
@@ -81,6 +82,11 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     # beams share the encoder output; expand per beam for the flat cache
     enc_exp = jnp.repeat(encoder_out, nb, axis=0)          # [B*NB, K, d]
     cache = init_cache(params, arch, enc_exp, cache_len=t_total)
+    key_mask = None
+    if prompt_mask is not None:
+        key_mask = jnp.repeat(jnp.concatenate(
+            [jnp.asarray(prompt_mask, bool),
+             jnp.ones((b, max_new_tokens), bool)], axis=1), nb, axis=0)
 
     tokens0 = jnp.concatenate(
         [jnp.broadcast_to(prompt[:, None, :], (b, nb, p)).astype(jnp.int32),
@@ -113,7 +119,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     def body(c: _Carry) -> _Carry:
         feed = c.tokens.reshape(flat, t_total)[:, c.t]
         logits, cache, align = decode_step(params, arch, feed, c.t,
-                                           c.cache, align_sel=align_sel)
+                                           c.cache, align_sel=align_sel,
+                                           key_mask=key_mask)
         # record alignment rows of the query tokens (t >= p)
         slot = jnp.maximum(c.t - p, 0)
         record = c.t >= p
@@ -320,7 +327,8 @@ def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                     length_penalty: float = 1.0, suppress_mask=None,
                     begin_suppress_mask=None, align_sel=None,
                     return_timestamps: bool = True,
-                    align_dtype: jnp.dtype = jnp.float32) -> BeamResult:
+                    align_dtype: jnp.dtype = jnp.float32,
+                    prompt_mask=None) -> BeamResult:
     return beam_decode(params, arch, specials, opts, encoder_out, prompt,
                        max_new_tokens=max_new_tokens, num_beams=num_beams,
                        length_penalty=length_penalty,
@@ -328,4 +336,4 @@ def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                        begin_suppress_mask=begin_suppress_mask,
                        align_sel=align_sel,
                        return_timestamps=return_timestamps,
-                       align_dtype=align_dtype)
+                       align_dtype=align_dtype, prompt_mask=prompt_mask)

@@ -67,12 +67,15 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                   temperature: jax.Array | float = 0.0,
                   rng: jax.Array | None = None,
                   align_dtype: jnp.dtype = jnp.float32,
-                  cross_cache_dtype: jnp.dtype | None = None) -> DecodeResult:
+                  cross_cache_dtype: jnp.dtype | None = None,
+                  prompt_mask: jax.Array | None = None) -> DecodeResult:
     """Decode a batch against precomputed encoder states.
 
     prompt: [B, P] int32 forced prefix (e.g. [sot, lang, task]); same
       static length per batch (the reference's per-batch init tokens,
-      generation_whisper.py:1467-1620).
+      generation_whisper.py:1467-1620). For condition-on-prev prompts,
+      left-pad to the static P and pass `prompt_mask` (False on pads —
+      the decoder_attention_mask analog).
     temperature: 0 => greedy argmax; > 0 => categorical sampling (the
       fallback ladder re-invokes this with higher temperatures).
     """
@@ -87,6 +90,11 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
 
     cache = init_cache(params, arch, encoder_out,
                        cross_dtype=cross_cache_dtype, cache_len=t_total)
+    key_mask = None
+    if prompt_mask is not None:
+        key_mask = jnp.concatenate(
+            [jnp.asarray(prompt_mask, bool),
+             jnp.ones((b, max_new_tokens), bool)], axis=1)
     tokens0 = jnp.concatenate(
         [prompt.astype(jnp.int32),
          jnp.full((b, max_new_tokens), eot, jnp.int32)], axis=1)
@@ -111,7 +119,8 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     def body(c: _Carry) -> _Carry:
         feed = c.tokens[:, c.t]
         logits, cache, align = decode_step(params, arch, feed, c.t, c.cache,
-                                           align_sel=align_sel)
+                                           align_sel=align_sel,
+                                           key_mask=key_mask)
         # record alignment rows for generated-query steps (t >= P)
         slot = jnp.maximum(c.t - p, 0)
         record = (c.t >= p) & ~c.finished
@@ -184,8 +193,8 @@ def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                       return_timestamps: bool = True,
                       temperature=0.0, rng=None,
                       align_dtype: jnp.dtype = jnp.float32,
-                      cross_cache_dtype: jnp.dtype | None = None
-                      ) -> DecodeResult:
+                      cross_cache_dtype: jnp.dtype | None = None,
+                      prompt_mask=None) -> DecodeResult:
     return greedy_decode(params, arch, specials, opts, encoder_out, prompt,
                          max_new_tokens=max_new_tokens,
                          suppress_mask=suppress_mask,
@@ -194,4 +203,5 @@ def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                          return_timestamps=return_timestamps,
                          temperature=temperature, rng=rng,
                          align_dtype=align_dtype,
-                         cross_cache_dtype=cross_cache_dtype)
+                         cross_cache_dtype=cross_cache_dtype,
+                         prompt_mask=prompt_mask)

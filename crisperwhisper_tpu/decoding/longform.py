@@ -44,7 +44,7 @@ class GenerateOutput:
 
 def _decode_window(params, arch, specials, opts, segment_features,
                    prompt, max_new, suppress, begin_suppress, align_sel,
-                   temperature, rng, dtw_frames):
+                   temperature, rng, dtw_frames, prompt_mask=None):
     """One batched decode of 30 s windows + on-device DTW. Returns host
     arrays: sequences, num_generated, avg_logprob_or_score, no_speech,
     jump_times.
@@ -61,7 +61,9 @@ def _decode_window(params, arch, specials, opts, segment_features,
             params, arch, specials, opts, encoder_out, jnp.asarray(prompt),
             max_new, opts.num_beams, suppress_mask=suppress,
             begin_suppress_mask=begin_suppress, align_sel=align_sel,
-            return_timestamps=opts.return_timestamps)
+            return_timestamps=opts.return_timestamps,
+            prompt_mask=(jnp.asarray(prompt_mask)
+                         if prompt_mask is not None else None))
         score = np.asarray(res.sequences_scores)
         is_normalized = True
     else:
@@ -70,7 +72,9 @@ def _decode_window(params, arch, specials, opts, segment_features,
             max_new, suppress_mask=suppress,
             begin_suppress_mask=begin_suppress,
             align_sel=align_sel, return_timestamps=opts.return_timestamps,
-            temperature=temperature, rng=rng)
+            temperature=temperature, rng=rng,
+            prompt_mask=(jnp.asarray(prompt_mask)
+                         if prompt_mask is not None else None))
         score = np.asarray(res.sum_logprobs)
         is_normalized = False
     jump_times = None
@@ -110,10 +114,18 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                   else None)
     seek = np.zeros((b,), np.int64)
 
-    prompt = build_prompt(specials, b, language_token=language_token,
-                          return_timestamps=opts.return_timestamps)
-    p = prompt.shape[1]
-    max_new = min(opts.max_new_tokens, arch.max_target_positions - p)
+    init_tokens = build_prompt(specials, b, language_token=language_token,
+                               return_timestamps=opts.return_timestamps)
+    conditioning = bool(opts.condition_on_prev_tokens)
+    # When conditioning applies, the prompt region is a STATIC cut_off+1
+    # slot left-padded window — the reference's static-cache
+    # padding='max_length' mode (hf _prepare_decoder_input_ids
+    # :1913-1921); iterations without prev context use the bare init
+    # tokens, exactly like the reference (:1900 condition). Two prompt
+    # widths => two compiled decode programs, both reused every window.
+    cut_off = arch.max_target_positions // 2 - 1
+    prev_width = (cut_off + 1) if conditioning else 0
+    do_condition = np.zeros((b,), bool)
 
     want_ts = opts.return_token_timestamps and len(opts.alignment_heads) > 0
     suppress = (jnp.asarray(suppress_tokens_mask(arch.vocab_size,
@@ -151,15 +163,38 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
         else:
             dtw_frames = np.full((b,), arch.max_source_positions, np.int64)
 
+        # --- conditioned decoder prompt (hf _prepare_decoder_input_ids) ---
+        iter_prompt = init_tokens
+        iter_mask = None
+        if (conditioning and do_condition.any()
+                and any(len(s) for s in current_segments)):
+            from .segments import pad_segments_to_max_length as _pad
+            prev_tok = _pad(
+                [current_segments[i] if do_condition[i] else []
+                 for i in range(b)],
+                specials.eot, padding_side="left", cut_off_length=cut_off,
+                bos_token=np.asarray([specials.sot_prev], np.int64),
+                skip_ending_double_timestamps=True,
+                timestamp_begin=specials.timestamp_begin,
+                fixed_total_length=prev_width)
+            iter_prompt = np.concatenate(
+                [prev_tok.astype(np.int32), init_tokens], axis=1)
+            iter_mask = np.concatenate(
+                [prev_tok != specials.eot,
+                 np.ones_like(init_tokens, bool)], axis=1)
+        p = iter_prompt.shape[1]
+        max_new = min(opts.max_new_tokens, arch.max_target_positions - p)
+
         # --- temperature fallback ladder (generate_with_fallback) ---
         resolved = ~active
         results: list[Any] = [None] * b
         for t_idx, temperature in enumerate(opts.temperatures):
             rng, sub = jax.random.split(rng)
             seqs, ngen, score, normalized, no_sp, jt = _decode_window(
-                params, arch, specials, opts, jnp.asarray(segment), prompt,
-                max_new, suppress, begin_suppress, align_sel,
-                float(temperature), sub, dtw_frames)
+                params, arch, specials, opts, jnp.asarray(segment),
+                iter_prompt, max_new, suppress, begin_suppress, align_sel,
+                float(temperature), sub, dtw_frames,
+                prompt_mask=iter_mask)
             is_last = t_idx == len(opts.temperatures) - 1
             for i in range(b):
                 if resolved[i]:
@@ -174,6 +209,9 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                     results[i] = (seq_with_eos, jt[i] if jt is not None
                                   else None, skip)
                     resolved[i] = True
+                    # condition the NEXT window only on low-temperature
+                    # results (generate_with_fallback :1100-1103)
+                    do_condition[i] = conditioning and temperature < 0.5
             if resolved.all():
                 break
 

@@ -101,9 +101,12 @@ def pad_segments_to_max_length(current_segments: list[list[dict[str, Any]]],
                                bos_token: np.ndarray | None = None,
                                padding_side: str = "right",
                                skip_ending_double_timestamps: bool = False,
-                               timestamp_begin: int | None = None):
-    """Concatenate per-item segment token lists and right-pad into a batch
-    (hf _pad_to_max_length). Returns sequences [B, L] (+ timestamps)."""
+                               timestamp_begin: int | None = None,
+                               fixed_total_length: int | None = None):
+    """Concatenate per-item segment token lists and pad into a batch
+    (hf _pad_to_max_length). Returns sequences [B, L] (+ timestamps).
+    fixed_total_length forces the padded width (the reference's
+    padding='max_length' mode used for static caches, :222)."""
     sequences, ts_list = [], []
     for seg_list in current_segments:
         if seg_list:
@@ -140,7 +143,12 @@ def pad_segments_to_max_length(current_segments: list[list[dict[str, Any]]],
         if return_token_timestamps:
             ts_list.append(ts.astype(np.float32))
 
-    max_len = max((len(s) for s in sequences), default=0)
+    max_len = (fixed_total_length if fixed_total_length is not None
+               else max((len(s) for s in sequences), default=0))
+    if fixed_total_length is not None:
+        sequences = [s[-fixed_total_length:] for s in sequences]
+        if return_token_timestamps:
+            ts_list = [t[-fixed_total_length:] for t in ts_list]
     out = np.full((len(sequences), max_len), pad_token_id, np.int64)
     out_ts = np.zeros((len(sequences), max_len), np.float32)
     for i, s in enumerate(sequences):
