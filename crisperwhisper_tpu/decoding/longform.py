@@ -94,7 +94,8 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
              num_frames: np.ndarray | None = None,
              max_frames: np.ndarray | None = None,
              language_token: int | None = None,
-             rng: jax.Array | None = None) -> GenerateOutput:
+             rng: jax.Array | None = None,
+             monitor_progress: Any | None = None) -> GenerateOutput:
     """Transcribe batched (possibly >30 s) mel features.
 
     input_features: [B, n_mels, total_frames] f32.
@@ -142,6 +143,10 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
     current_segments: list[list[dict[str, Any]]] = [[] for _ in range(b)]
 
     while (seek < max_frames).any():
+        if monitor_progress is not None:
+            # per-iteration (seek, max_frames) pairs — the reference's
+            # monitor_progress callback (hf generation_whisper.py:796-798)
+            monitor_progress(np.stack([seek, max_frames], axis=1))
         active = seek < max_frames
         time_offset = seek.astype(np.float64) * opts.time_precision \
             / INPUT_STRIDE

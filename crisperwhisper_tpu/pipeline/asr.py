@@ -77,6 +77,8 @@ class ASRPipeline:
         self.pipe_opts = pipe_opts
         self.feat_cfg = feat_cfg or FeatureConfig(
             feature_size=arch.num_mel_bins)
+        from ..utils.tracing import RTFMeter
+        self.meter = RTFMeter()
 
     # ------------------------------------------------------------------
     def __call__(self, inputs: Any, return_timestamps: str | bool | None
@@ -107,12 +109,16 @@ class ASRPipeline:
         stride_right = int(round(sr_s * sr))
 
         chunks: list[Chunk] = []
+        total_audio_s = 0.0
         for idx, a in enumerate(audios):
             audio = load_audio(a, sr)
+            total_audio_s += audio.shape[0] / sr
             chunks.extend(chunk_iter(audio, idx, n_samples, stride_left,
                                      stride_right))
 
-        chunk_outputs = self._run_chunks(chunks, n_samples, return_timestamps)
+        with self.meter.measure(total_audio_s, "pipeline"):
+            chunk_outputs = self._run_chunks(chunks, n_samples,
+                                             return_timestamps)
 
         results = []
         for idx in range(len(audios)):
