@@ -174,3 +174,18 @@ def extract_features(waveform: jax.Array, cfg: FeatureConfig = FeatureConfig(),
                      dtype: jnp.dtype = jnp.float32) -> jax.Array:
     """Jitted batched frontend entry point: [B, 480000] -> [B, M, 3000]."""
     return log_mel_spectrogram(waveform, cfg, dtype)
+
+
+def zero_mean_unit_var_norm(waveform: np.ndarray,
+                            length: int | None = None,
+                            padding_value: float = 0.0) -> np.ndarray:
+    """Optional per-utterance normalization over the true (unpadded)
+    region (hf feature_extraction_whisper.py:169-190 `do_normalize`)."""
+    n = length if length is not None else waveform.shape[-1]
+    true = waveform[..., :n]
+    mean = true.mean(axis=-1, keepdims=True)
+    var = true.var(axis=-1, keepdims=True)
+    out = (waveform - mean) / np.sqrt(var + 1e-7)
+    if length is not None and length < waveform.shape[-1]:
+        out[..., length:] = padding_value
+    return out

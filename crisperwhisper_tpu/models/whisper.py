@@ -429,6 +429,77 @@ def forward(params: Params, arch: WhisperArch, input_features: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Aux model heads (reference aux classes, modeling_whisper.py:1359/:1500)
+# ---------------------------------------------------------------------------
+
+
+def causal_lm_forward(params: Params, arch: WhisperArch,
+                      input_ids: jax.Array,
+                      encoder_out: jax.Array | None = None) -> jax.Array:
+    """WhisperForCausalLM analog (modeling_whisper.py:1359): the decoder as
+    a standalone LM — used as the assistant model in speculative decoding.
+    With encoder_out=None the cross-attention sublayer contributes its
+    residual with zeroed attention output (no encoder states to attend)."""
+    if encoder_out is not None:
+        return decoder_forward(params, arch, input_ids, encoder_out)
+    dec = params["decoder"]
+    h = arch.decoder_attention_heads
+    t = input_ids.shape[-1]
+    dtype = dec["tok_emb"].dtype
+    scale = arch.head_dim ** -0.5
+
+    x = dec["tok_emb"][input_ids].astype(dtype)
+    x = x + dec["pos_emb"][:t].astype(dtype)
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+
+    def body(hidden, lp):
+        y = layer_norm(hidden, lp["ln1"])
+        q = _split_heads(dense(y, lp["self"]["q"]) * scale, h)
+        k = _split_heads(dense(y, lp["self"]["k"]), h)
+        v = _split_heads(dense(y, lp["self"]["v"]), h)
+        out, _ = attention(q, k, v, causal)
+        hidden = hidden + dense(_merge_heads(out), lp["self"]["o"])
+        # cross-attention skipped (decoder-only mode)
+        hidden = hidden + mlp_block(layer_norm(hidden, lp["ln3"]), lp["mlp"])
+        return hidden, None
+
+    x, _ = jax.lax.scan(body, x, dec["layers"])
+    x = layer_norm(x, dec["ln"])
+    return jnp.einsum("btd,vd->btv", x, dec["tok_emb"].astype(dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def audio_classification_forward(params: Params, arch: WhisperArch,
+                                 input_features: jax.Array,
+                                 head: Params) -> jax.Array:
+    """WhisperForAudioClassification analog (modeling_whisper.py:1500):
+    encoder -> projector -> mean-pool over time -> classifier logits.
+    `head` = {"projector": {w,b}, "classifier": {w,b}}."""
+    states = encode(params, arch, input_features)
+    proj = dense(states, head["projector"])          # [B, T, proj]
+    pooled = jnp.mean(proj, axis=1)
+    return dense(pooled, head["classifier"]).astype(jnp.float32)
+
+
+def init_classification_head(arch: WhisperArch, num_labels: int,
+                             key: jax.Array,
+                             classifier_proj_size: int = 256,
+                             dtype: jnp.dtype = jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    std = 0.02
+    return {
+        "projector": {
+            "w": jax.random.normal(k1, (arch.d_model, classifier_proj_size),
+                                   dtype) * std,
+            "b": jnp.zeros((classifier_proj_size,), dtype)},
+        "classifier": {
+            "w": jax.random.normal(k2, (classifier_proj_size, num_labels),
+                                   dtype) * std,
+            "b": jnp.zeros((num_labels,), dtype)},
+    }
+
+
+# ---------------------------------------------------------------------------
 # Initialization (for tests / from-scratch training)
 # ---------------------------------------------------------------------------
 
