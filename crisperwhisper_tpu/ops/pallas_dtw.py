@@ -1,0 +1,155 @@
+"""Pallas DTW kernel: cost DP + trace + backtrace in one on-chip pass.
+
+The alignment DP (ops/alignment.py) runs as a lax.scan over anti-diagonals
+— already on-device and batched. This kernel keeps the WHOLE DP state in
+VMEM for one grid program per batch item: the sheared cost matrix streams
+in once, the rolling anti-diagonal vectors and the full trace never touch
+HBM, and only the [N] jump-time vector leaves the chip.
+
+Same recurrence and tie-breaking as the reference DP
+(hf generation_whisper.py:67-118); same masking contract as
+ops/alignment.dtw_jump_times (rows/cols beyond the true lengths carry a
+large cost; backtrace starts at (n_tokens, n_frames)).
+
+Layout trick: the matrix is pre-sheared on the XLA side (row i shifted
+right by i), so anti-diagonal d of the DP is one contiguous COLUMN —
+dynamic column slices are cheap on TPU, per-element gathers are not. The
+trace is stored sheared the same way and read back with scalar indices in
+the backtrace.
+
+STATUS: correctness-validated (exact match vs ops/alignment.dtw_jump_times
+and the reference DP) under the Pallas interpreter; the Mosaic-compiled
+path currently fails lane-alignment legalization ("index in dimension 2
+must be a multiple of 128" — single-column dynamic VMEM access). The
+production DTW path is the anti-diagonal `lax.scan` in ops/alignment.py,
+which is already fully on-device; this kernel removes its remaining
+HBM round-trips once the column access is restructured as 128-wide block
+loads + lane rotation (pltpu.roll). Tracked for a future round.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = 3.0e38  # python scalar: pallas kernels must not capture traced constants
+
+
+def _shear(matrix: jax.Array) -> jax.Array:
+    """[B, N, M] -> [B, N, N+M]: row i shifted right by i, inf elsewhere."""
+    b, n, m = matrix.shape
+    pad = jnp.full((b, n, n), _INF, matrix.dtype)
+    wide = jnp.concatenate([matrix, pad], axis=2)
+    idx = (np.arange(n + m)[None, :] - np.arange(n)[:, None]) % (n + m)
+    return jnp.take_along_axis(wide, jnp.asarray(idx)[None], axis=2)
+
+
+def _dtw_kernel(nt_ref, nf_ref, sheared_ref, out_ref,
+                cost_d1, cost_d2, trace):
+    """One batch item. sheared [N, N+M] f32; out [N] int32.
+
+    Scratch: cost_d1/cost_d2 [1, N+1] f32 rolling diagonals; trace
+    [N+1, N+M] int32, column d-2 = trace values of DP diagonal d."""
+    n = out_ref.shape[-1]
+    nm = sheared_ref.shape[2]          # N + M
+    m = nm - n
+    item = pl.program_id(0)
+    nt = nt_ref[item]
+    nf = nf_ref[item]
+
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n + 1), 1)
+    cost_d2[:] = jnp.where(i_idx == 0, 0.0, _INF)     # DP diagonal 0
+    cost_d1[:] = jnp.full((1, n + 1), _INF)           # DP diagonal 1
+
+    def shift_down(row, fill):
+        """out[i] = row[i-1], out[0] = fill (row shape [1, N+1])."""
+        rolled = pltpu.roll(row, 1, 1)
+        return jnp.where(i_idx == 0, fill, rolled)
+
+    def diag_step(d, _):
+        prev1 = cost_d1[:]
+        prev2 = cost_d2[:]
+        c0 = shift_down(prev2, _INF)
+        c1 = shift_down(prev1, _INF)
+        c2 = prev1
+        take0 = (c0 < c1) & (c0 < c2)
+        take1 = (c1 < c0) & (c1 < c2)
+        c = jnp.where(take0, c0, jnp.where(take1, c1, c2))
+        t = jnp.where(take0, 0, jnp.where(take1, 1, 2)).astype(jnp.int32)
+        # matrix values of this diagonal: sheared column d-2 gives
+        # m[i-1, j-1] at vector slot i-1 -> shift down to align with i
+        col = sheared_ref[0, :, d - 2]                 # [N]
+        colp = jnp.concatenate([col, jnp.full((1,), _INF)])[None, :]
+        mval = shift_down(colp, _INF)
+        j_idx = d - i_idx
+        valid = (i_idx >= 1) & (j_idx >= 1) & (j_idx <= m)
+        new_cost = jnp.where(valid, mval + c, _INF)
+        cost_d2[:] = prev1
+        cost_d1[:] = new_cost
+        trace[:, d - 2] = jnp.where(valid, t, 2)[0, :]
+        return _
+
+    jax.lax.fori_loop(2, n + m + 1, diag_step, 0)
+
+    # --- backtrace (boundary rules trace[0,:]=2, trace[:,0]=1 applied
+    # logically, reference :96-97). The jump vector rides the loop carry
+    # as a register value — scalar VMEM stores are not lowerable, so each
+    # step rewrites it with a masked where (n lanes, trivial on the VPU).
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def bt_step(_, state):
+        i, j, out_vec = state
+        done = (i <= 0) & (j <= 0)
+        t_int = trace[i, jnp.clip(i + j - 2, 0, n + m - 1)]
+        t = jnp.where(i == 0, 2, jnp.where(j == 0, 1, t_int))
+        write = jnp.logical_and(~done, i >= 1)
+        out_vec = jnp.where(write & (row == i - 1), j - 1, out_vec)
+        di = jnp.where((t == 0) | (t == 1), 1, 0)
+        dj = jnp.where((t == 0) | (t == 2), 1, 0)
+        return (jnp.where(done, i, i - di), jnp.where(done, j, j - dj),
+                out_vec)
+
+    _, _, out_vec = jax.lax.fori_loop(
+        0, n + m, bt_step, (nt, nf, jnp.zeros((1, n), jnp.int32)))
+
+    # pad tail rows with the last valid jump time (reference :380-382)
+    last = jnp.max(jnp.where(row == jnp.maximum(nt - 1, 0), out_vec, 0),
+                   axis=1, keepdims=True)
+    out_ref[item, :] = jnp.where(row < nt, out_vec, last)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_dtw_jump_times(matrix: jax.Array, n_tokens: jax.Array,
+                          n_frames: jax.Array,
+                          interpret: bool = False) -> jax.Array:
+    """Batched DTW: matrix [B, N, M] f32 (masked cost), n_tokens/n_frames
+    [B] -> [B, N] int32 first-arrival frame index per token row."""
+    b, n, m = matrix.shape
+    sheared = _shear(matrix.astype(jnp.float32))
+    return pl.pallas_call(
+        _dtw_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, n + m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # whole-array output block revisited by every (sequential) grid
+        # program; program i writes only row i (lane-tiling forbids 1-row
+        # blocks for int32)
+        out_specs=pl.BlockSpec((b, n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, n + 1), jnp.float32),
+            pltpu.VMEM((1, n + 1), jnp.float32),
+            pltpu.VMEM((n + 1, n + m), jnp.int32),
+        ],
+        interpret=interpret,
+    )(n_tokens.astype(jnp.int32), n_frames.astype(jnp.int32), sheared)

@@ -1,0 +1,70 @@
+"""Pallas kernels — interpreter-mode correctness on CPU.
+
+(The compiled Mosaic paths are exercised on real TPU by bench.py and the
+smoke scripts; CI here runs the same kernel code interpreted.)"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_pallas_dtw_matches_scan_dtw():
+    from crisperwhisper_tpu.ops.alignment import dtw_jump_times
+    from crisperwhisper_tpu.ops.pallas_dtw import pallas_dtw_jump_times
+    rng = np.random.default_rng(0)
+    b, n, m = 3, 25, 90
+    mat = rng.standard_normal((b, n, m)).astype(np.float32)
+    nt = np.array([25, 20, 10], np.int32)
+    nf = np.array([90, 70, 50], np.int32)
+    masked = mat.copy()
+    for i in range(b):
+        masked[i, nt[i]:, :] = 1e9
+        masked[i, :, nf[i]:] = 1e9
+    ref = np.stack([np.asarray(dtw_jump_times(
+        jnp.asarray(masked[i]), int(nt[i]), int(nf[i]))) for i in range(b)])
+    got = np.asarray(pallas_dtw_jump_times(
+        jnp.asarray(masked), jnp.asarray(nt), jnp.asarray(nf),
+        interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_attention_interpret_matches_eager():
+    from crisperwhisper_tpu.models.whisper import attention
+    from crisperwhisper_tpu.ops import fused_attention as fa
+    import functools
+    from jax.experimental import pallas as pl
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((2, 4, 300, 64)).astype(np.float32)) * 0.1
+    k = jnp.asarray(rng.standard_normal((2, 4, 300, 64)).astype(np.float32)) * 0.1
+    v = jnp.asarray(rng.standard_normal((2, 4, 300, 64)).astype(np.float32))
+    ref, _ = attention(q, k, v)
+    # run the same kernel interpreted
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        got = fa.fused_attention.__wrapped__(q, k, v)
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_int8_decode_attention_reference_close_to_fp():
+    """Folded-scale int8 attention (the XLA serving path) vs full-precision
+    attention: outputs within quantization tolerance."""
+    from crisperwhisper_tpu.models.whisper import attention, _quantize_int8
+    from crisperwhisper_tpu.ops.decode_attention import dequant_reference
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((2, 4, 1, 64)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.standard_normal((2, 4, 200, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 4, 200, 64)).astype(np.float32))
+    ref_out, ref_probs = attention(q, k, v)
+    kq, ks = _quantize_int8(k)
+    vq, vs = _quantize_int8(v)
+    out, probs = dequant_reference(q, kq, ks, vq, vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(probs),
+                               np.asarray(ref_probs[:, :, 0, :]), atol=0.02)
