@@ -51,6 +51,22 @@ def test_fused_attention_interpret_matches_eager():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_pallas_mel_matches_rfft_frontend():
+    from crisperwhisper_tpu.config import FeatureConfig
+    from crisperwhisper_tpu.audio.mel import extract_features
+    from crisperwhisper_tpu.audio.pallas_mel import pallas_log_mel
+    rng = np.random.default_rng(3)
+    cfg = FeatureConfig()
+    t = np.arange(cfg.n_samples) / 16000.0
+    audio = (0.3 * np.sin(2 * np.pi * 440 * t)
+             + 0.05 * rng.standard_normal(cfg.n_samples)
+             ).astype(np.float32)[None]
+    ref = np.asarray(extract_features(jnp.asarray(audio), cfg))
+    got = np.asarray(pallas_log_mel(jnp.asarray(audio), cfg,
+                                    interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
 def test_int8_decode_attention_reference_close_to_fp():
     """Folded-scale int8 attention (the XLA serving path) vs full-precision
     attention: outputs within quantization tolerance."""
