@@ -52,9 +52,20 @@ def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
 
 
 def dense(x: jax.Array, p: Params) -> jax.Array:
-    """x @ w (+ b). Weights stored [d_in, d_out]."""
-    y = jnp.einsum("...i,io->...o", x, p["w"],
-                   preferred_element_type=x.dtype)
+    """x @ w (+ b). Weights stored [d_in, d_out].
+
+    Weight-only int8 layout ({"w_q": int8 [d_in, d_out], "w_scale":
+    [d_out]}) is dequantized with the per-output-channel scale folded OUT
+    of the matmul — XLA fuses the int8->activation-dtype convert into the
+    dot's operand read, so only int8 bytes leave HBM (decode is
+    weight-bandwidth-bound; see models/quantize.py)."""
+    if "w_q" in p:
+        y = jnp.einsum("...i,io->...o", x, p["w_q"].astype(x.dtype),
+                       preferred_element_type=x.dtype)
+        y = y * p["w_scale"].astype(y.dtype)
+    else:
+        y = jnp.einsum("...i,io->...o", x, p["w"],
+                       preferred_element_type=x.dtype)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
