@@ -9,8 +9,8 @@ not in the serving path, SURVEY.md §2.5):
     contraction expansion, British/American spelling map (supplied as the
     checkpoint's normalizer.json), punctuation and unit cleanup.
 
-The full EnglishNumberNormalizer (spelled numbers -> digits, :96-498) is
-not yet ported; `normalize_numbers=False` keeps spelled numbers as words.
+Spelled-number normalization (:96-498) lives in number_normalizer.py and
+runs by default; `normalize_numbers=False` keeps spelled numbers as words.
 """
 
 from __future__ import annotations
@@ -69,7 +69,10 @@ class EnglishTextNormalizer:
     checkpoint's normalizer.json ({british: american})."""
 
     def __init__(self, english_spelling_mapping: dict[str, str]
-                 | None = None):
+                 | None = None, normalize_numbers: bool = True):
+        from .number_normalizer import EnglishNumberNormalizer
+        self.standardize_numbers = (EnglishNumberNormalizer()
+                                    if normalize_numbers else None)
         self.ignore_patterns = \
             r"\b(hmm|mm|mhm|mmm|uh|um)\b"
         self.replacers = {
@@ -141,6 +144,8 @@ class EnglishTextNormalizer:
 
         s = re.sub(r"(\d),(\d)", r"\1\2", s)      # remove commas in numbers
         s = re.sub(r"\.([^0-9]|$)", r" \1", s)    # periods not in numbers
+        if self.standardize_numbers is not None:
+            s = self.standardize_numbers(s)
         s = remove_symbols_and_diacritics(s, keep=".%$¢€£")
 
         s = re.sub(r"[.$¢€£]([^0-9])", r" \1", s)
