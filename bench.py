@@ -39,6 +39,7 @@ DECODE_TOKENS = int(os.environ.get("BENCH_TOKENS", "128"))
 ITERS = int(os.environ.get("BENCH_ITERS", "4"))
 N_ALIGN_HEADS = 15     # CrisperWhisper fine-tunes 15 heads (README:295)
 KV_INT8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
+W_INT8 = os.environ.get("BENCH_W_INT8", "1") == "1"
 
 
 def main():
@@ -50,6 +51,10 @@ def main():
     feat_cfg = FeatureConfig(feature_size=arch.num_mel_bins)
 
     params = init_params(arch, jax.random.PRNGKey(0), dtype=dtype)
+    if W_INT8 and on_tpu:
+        from crisperwhisper_tpu.models.quantize import \
+            quantize_decoder_weights
+        params = quantize_decoder_weights(params)
     heads = tuple((2 + 2 * i, i % arch.decoder_attention_heads)
                   for i in range(N_ALIGN_HEADS))
     align_sel = jnp.asarray(alignment_selector(arch, heads))

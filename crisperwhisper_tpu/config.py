@@ -165,6 +165,7 @@ class GenerationOptions:
     task: str = "transcribe"
     time_precision: float = 0.02
     prompt_seed: int = 0
+    kv_cache_int8: bool = False     # int8 cross-KV cache (serving)
 
 
 @dataclass(frozen=True)

@@ -56,12 +56,20 @@ def load_pipeline(model_dir: str, *,
                   pipe_opts: PipelineOptions = PipelineOptions(),
                   language: str | None = None,
                   median_filter_width: int | None = None,
-                  sharding: Any | None = None) -> ASRPipeline:
+                  sharding: Any | None = None,
+                  quantize: bool = False) -> ASRPipeline:
     """Build the full ASR pipeline from a local checkpoint directory —
-    the one-call equivalent of ref:transcribe.py:8-31."""
+    the one-call equivalent of ref:transcribe.py:8-31.
+
+    quantize=True enables the serving quantizations: weight-only int8 on
+    the decoder and the int8 cross-KV cache (~25% faster decode, halved
+    cache memory; small logit perturbation)."""
     cfgs = load_checkpoint_configs(model_dir)
     arch = WhisperArch.from_hf_config(cfgs["config"])
     params, _ = load_params(model_dir, arch, dtype=dtype, sharding=sharding)
+    if quantize:
+        from .models.quantize import quantize_decoder_weights
+        params = quantize_decoder_weights(params)
     tokenizer = WhisperTokenizer.from_dir(model_dir)
 
     opts = gen_opts or load_generation_options(cfgs["generation_config"])
@@ -73,6 +81,8 @@ def load_pipeline(model_dir: str, *,
         kw["median_filter_width"] = mfw
     if language:
         kw["language"] = language
+    if quantize:
+        kw["kv_cache_int8"] = True
     if kw:
         opts = replace(opts, **kw)
 
