@@ -95,6 +95,8 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
              num_frames: np.ndarray | None = None,
              max_frames: np.ndarray | None = None,
              language_token: int | None = None,
+             task_token: int | None = None,
+             detect_language_first: bool = False,
              rng: jax.Array | None = None,
              monitor_progress: Any | None = None) -> GenerateOutput:
     """Transcribe batched (possibly >30 s) mel features.
@@ -116,8 +118,31 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                   else None)
     seek = np.zeros((b,), np.int64)
 
-    init_tokens = build_prompt(specials, b, language_token=language_token,
-                               return_timestamps=opts.return_timestamps)
+    if detect_language_first and language_token is None:
+        # one batched detection on the first 30 s window per row
+        # (hf _retrieve_init_tokens :1584 detects once, not per seek)
+        from .language import detect_language
+        first = np.zeros((b, feats.shape[1], num_segment_frames), np.float32)
+        for i in range(b):
+            nseg = int(min(max_frames[i], num_segment_frames,
+                           total_frames))
+            first[i, :, :nseg] = feats[i, :, :nseg]
+        lang_ids = np.asarray(detect_language(
+            params, arch, specials, encode(params, arch,
+                                           jnp.asarray(first))))
+        init_tokens = np.stack([
+            np.concatenate([
+                np.asarray([specials.sot, int(lang_ids[i]),
+                            task_token if task_token is not None
+                            else specials.transcribe], np.int32),
+                (np.asarray([], np.int32) if opts.return_timestamps
+                 else np.asarray([specials.no_timestamps], np.int32))])
+            for i in range(b)])
+    else:
+        init_tokens = build_prompt(
+            specials, b, language_token=language_token,
+            task_token=task_token,
+            return_timestamps=opts.return_timestamps)
     conditioning = bool(opts.condition_on_prev_tokens)
     # When conditioning applies, the prompt region is a STATIC cut_off+1
     # slot left-padded window — the reference's static-cache

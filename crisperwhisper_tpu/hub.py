@@ -95,6 +95,9 @@ def load_pipeline(model_dir: str, *,
         chunk_length=pp.get("chunk_length", 30))
 
     specials = specials_from_tokenizer(tokenizer)
-    return ASRPipeline(params, arch, tokenizer, specials=specials,
+    pipe = ASRPipeline(params, arch, tokenizer, specials=specials,
                        gen_opts=opts, pipe_opts=pipe_opts,
                        feat_cfg=feat_cfg)
+    if language is None and cfgs["generation_config"].get("is_multilingual"):
+        pipe.detect_language = True
+    return pipe

@@ -79,6 +79,9 @@ class ASRPipeline:
             feature_size=arch.num_mel_bins)
         from ..utils.tracing import RTFMeter
         self.meter = RTFMeter()
+        # auto language detection for multilingual checkpoints when no
+        # language is pinned (hf _retrieve_init_tokens :1560-1590)
+        self.detect_language = False
 
     # ------------------------------------------------------------------
     def __call__(self, inputs: Any, return_timestamps: str | bool | None
@@ -162,9 +165,12 @@ class ASRPipeline:
                 batch[i, :len(c.samples)] = c.samples
                 num_frames[i] = len(c.samples) // self.feat_cfg.hop_length
             feats = extract_features(jnp.asarray(batch), self.feat_cfg)
+            lang_tok = self._language_token()
             gen = generate(self.params, self.arch, self.specials, opts,
                            feats, num_frames=num_frames,
-                           language_token=self._language_token())
+                           language_token=lang_tok,
+                           detect_language_first=(self.detect_language
+                                                  and lang_tok is None))
             for i, c in enumerate(group):
                 segs = gen.segments[i]
                 toks = (np.concatenate([np.asarray(s["tokens"])
