@@ -323,11 +323,14 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     # new [B, H, 1, Dh] row instead of materializing stacked multi-GB
     # scan outputs (the naive ys formulation copies the whole cache every
     # token and dominates decode time).
-    # int8 cross-attention path selection: the folded-scale XLA form
-    # (ops/decode_attention.dequant_reference) fuses the int8->bf16 convert
-    # into the dot and measures FASTER than the per-(b,h) Pallas micro-
-    # kernel (whose 320-program grid is sequencing-overhead-bound at
-    # q_len=1). Keep the kernel behind an env flag for future tuning.
+    # int8 cross-attention path selection. Measured on v5e (B=24,
+    # large-v3): the all-heads-per-program Pallas kernel
+    # (decode_attention_v2) wins 26x as an ISOLATED dispatch (1.3 vs
+    # 33.7 ms/call — XLA materializes converted operands there), but
+    # INSIDE the fused decode loop XLA schedules the folded-dequant dot
+    # better (18.9 vs 25.9 ms/step end-to-end): the per-layer pallas_call
+    # breaks cross-layer prefetch overlap. Default: XLA folded form;
+    # CW_INT8_PALLAS=1 selects the kernel (useful for non-scan callers).
     use_int8_kernel = False
     if quantized:
         import os
@@ -355,9 +358,9 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         y = layer_norm(hidden, lp["ln2"])
         qc = _split_heads(dense(y, lp["cross"]["q"]) * scale, h)
         if quantized:
-            from ..ops.decode_attention import (cross_attention_int8,
-                                                dequant_reference)
-            fn = cross_attention_int8 if use_int8_kernel \
+            from ..ops.decode_attention import dequant_reference
+            from ..ops.decode_attention_v2 import cross_attention_int8_v2
+            fn = cross_attention_int8_v2 if use_int8_kernel \
                 else dequant_reference
             cross_out, probs_row = fn(qc, layer_cross_k, kv_scales[0],
                                       layer_cross_v, kv_scales[1])
