@@ -97,7 +97,7 @@ def _compare_outputs(golden, ours):
         assert abs(os_ - gs) <= 0.021 and abs(oe - ge) <= 0.021, (g, o)
 
 
-@pytest.mark.parametrize("seconds,seed", [(4.0, 0), (12.3, 1)])
+@pytest.mark.parametrize("seconds,seed", [(4.0, 0), (12.3, 1), (27.7, 5)])
 def test_pipeline_word_timestamps_parity(hf_pipe, our_pipe, seconds, seed):
     _, pipe = hf_pipe
     audio = _audio(seconds, seed)
