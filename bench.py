@@ -52,9 +52,10 @@ def main():
 
     params = init_params(arch, jax.random.PRNGKey(0), dtype=dtype)
     if W_INT8 and on_tpu:
-        from crisperwhisper_tpu.models.quantize import \
-            quantize_decoder_weights
-        params = quantize_decoder_weights(params)
+        from crisperwhisper_tpu.models.quantize import (
+            fuse_decoder_qkv, quantize_decoder_weights)
+        params = quantize_decoder_weights(
+            fuse_decoder_qkv(params, arch.head_dim))
     heads = tuple((2 + 2 * i, i % arch.decoder_attention_heads)
                   for i in range(N_ALIGN_HEADS))
     align_sel = jnp.asarray(alignment_selector(arch, heads))

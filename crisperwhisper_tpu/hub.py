@@ -68,8 +68,10 @@ def load_pipeline(model_dir: str, *,
     arch = WhisperArch.from_hf_config(cfgs["config"])
     params, _ = load_params(model_dir, arch, dtype=dtype, sharding=sharding)
     if quantize:
-        from .models.quantize import quantize_decoder_weights
-        params = quantize_decoder_weights(params)
+        from .models.quantize import (fuse_decoder_qkv,
+                                      quantize_decoder_weights)
+        params = quantize_decoder_weights(
+            fuse_decoder_qkv(params, arch.head_dim))
     tokenizer = WhisperTokenizer.from_dir(model_dir)
 
     opts = gen_opts or load_generation_options(cfgs["generation_config"])

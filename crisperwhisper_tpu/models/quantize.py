@@ -41,6 +41,32 @@ def _quantize_dense(p: Params) -> Params:
     return out
 
 
+def fuse_decoder_qkv(params: Params, head_dim: int) -> Params:
+    """Fuse the decoder self-attention q/k/v projections into ONE matmul
+    and fold the 1/sqrt(head_dim) query scale into its weights.
+
+    Decode is latency-bound on the serial op chain inside the layer scan
+    (measured: B=1 costs 3.3 ms/step on large-v3 — dispatch latency, not
+    bandwidth); one [d, 3d] matmul replaces three [d, d] dispatches per
+    layer. decode_step detects the fused "qkv" entry and skips the
+    runtime q-scaling."""
+    scale = head_dim ** -0.5
+    dec = dict(params["decoder"])
+    layers = dict(dec["layers"])
+    self_p = layers["self"]
+    wq = self_p["q"]["w"] * scale
+    wk = self_p["k"]["w"]
+    wv = self_p["v"]["w"]
+    w = jnp.concatenate([wq, wk, wv], axis=-1)          # [L, d, 3d]
+    bq = self_p["q"]["b"] * scale
+    bk = self_p["k"].get("b", jnp.zeros_like(bq))
+    bv = self_p["v"]["b"]
+    b = jnp.concatenate([bq, bk, bv], axis=-1)
+    layers["self"] = {"qkv": {"w": w, "b": b}, "o": self_p["o"]}
+    dec["layers"] = layers
+    return {**params, "decoder": dec}
+
+
 def quantize_decoder_weights(params: Params) -> Params:
     """Return params with the decoder's dense weights int8-quantized."""
     dec = dict(params["decoder"])

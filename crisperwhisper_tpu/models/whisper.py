@@ -90,6 +90,21 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.reshape(*lead, t, h * dh)
 
 
+def _self_qkv(y: jax.Array, sp: Params, num_heads: int, scale: float
+              ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Project y to head-split (q, k, v); q arrives pre-scaled. Uses the
+    fused single-matmul "qkv" entry when present (fuse_decoder_qkv)."""
+    if "qkv" in sp:
+        qkv = dense(y, sp["qkv"])
+        d = qkv.shape[-1] // 3
+        return (_split_heads(qkv[..., :d], num_heads),
+                _split_heads(qkv[..., d:2 * d], num_heads),
+                _split_heads(qkv[..., 2 * d:], num_heads))
+    return (_split_heads(dense(y, sp["q"]) * scale, num_heads),
+            _split_heads(dense(y, sp["k"]), num_heads),
+            _split_heads(dense(y, sp["v"]), num_heads))
+
+
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               mask: jax.Array | None = None,
               probs_dtype: jnp.dtype = jnp.float32
@@ -343,9 +358,7 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         li, lp, layer_cross_k, layer_cross_v, kv_scales, sel = layer_in
         # --- self-attention against the ring cache
         y = layer_norm(hidden, lp["ln1"])
-        q = _split_heads(dense(y, lp["self"]["q"]) * scale, h)
-        k_new = _split_heads(dense(y, lp["self"]["k"]), h)
-        v_new = _split_heads(dense(y, lp["self"]["v"]), h)
+        q, k_new, v_new = _self_qkv(y, lp["self"], h, scale)
         self_k = jax.lax.dynamic_update_slice(
             self_k, k_new.astype(dtype)[None], (li, 0, 0, position, 0))
         self_v = jax.lax.dynamic_update_slice(
@@ -415,9 +428,7 @@ def decoder_forward(params: Params, arch: WhisperArch,
 
     def body(hidden, lp):
         y = layer_norm(hidden, lp["ln1"])
-        q = _split_heads(dense(y, lp["self"]["q"]) * scale, h)
-        k = _split_heads(dense(y, lp["self"]["k"]), h)
-        v = _split_heads(dense(y, lp["self"]["v"]), h)
+        q, k, v = _self_qkv(y, lp["self"], h, scale)
         out, _ = attention(q, k, v, causal)
         hidden = hidden + dense(_merge_heads(out), lp["self"]["o"])
         y = layer_norm(hidden, lp["ln2"])
@@ -468,9 +479,7 @@ def causal_lm_forward(params: Params, arch: WhisperArch,
 
     def body(hidden, lp):
         y = layer_norm(hidden, lp["ln1"])
-        q = _split_heads(dense(y, lp["self"]["q"]) * scale, h)
-        k = _split_heads(dense(y, lp["self"]["k"]), h)
-        v = _split_heads(dense(y, lp["self"]["v"]), h)
+        q, k, v = _self_qkv(y, lp["self"], h, scale)
         out, _ = attention(q, k, v, causal)
         hidden = hidden + dense(_merge_heads(out), lp["self"]["o"])
         # cross-attention skipped (decoder-only mode)
