@@ -100,6 +100,24 @@ def test_cli_missing_file(ckpt_dir, capsys):
     assert main(["--f", "/nonexistent.wav", "--model", ckpt_dir]) == 1
 
 
+def test_pipeline_list_input(pipe, wav_path):
+    """Batched multi-audio call: list in -> list of results, each equal to
+    the single-audio result."""
+    from crisperwhisper_tpu.audio.io import read_wav
+    _, audio = read_wav(wav_path)
+    short = audio[: 3 * 16000]
+    single_a = pipe({"raw": audio, "sampling_rate": 16000},
+                    return_timestamps="word")
+    single_b = pipe({"raw": short, "sampling_rate": 16000},
+                    return_timestamps="word")
+    batch = pipe([{"raw": audio, "sampling_rate": 16000},
+                  {"raw": short, "sampling_rate": 16000}],
+                 return_timestamps="word")
+    assert isinstance(batch, list) and len(batch) == 2
+    assert batch[0]["text"] == single_a["text"]
+    assert batch[1]["text"] == single_b["text"]
+
+
 def test_streaming_batcher_multi_stream(pipe, wav_path):
     from crisperwhisper_tpu.audio.io import read_wav
     from crisperwhisper_tpu.serving import StreamingBatcher
