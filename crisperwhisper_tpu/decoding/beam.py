@@ -68,7 +68,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 align_sel: jax.Array | None = None,
                 return_timestamps: bool = True,
                 align_dtype: jnp.dtype = jnp.float32,
-                prompt_mask: jax.Array | None = None) -> BeamResult:
+                prompt_mask: jax.Array | None = None,
+                cross_cache_dtype: jnp.dtype | None = None) -> BeamResult:
     b, p = prompt.shape
     nb = num_beams
     k_frames = encoder_out.shape[1]
@@ -81,7 +82,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
 
     # beams share the encoder output; expand per beam for the flat cache
     enc_exp = jnp.repeat(encoder_out, nb, axis=0)          # [B*NB, K, d]
-    cache = init_cache(params, arch, enc_exp, cache_len=t_total)
+    cache = init_cache(params, arch, enc_exp, cache_len=t_total,
+                       cross_dtype=cross_cache_dtype)
     key_mask = None
     if prompt_mask is not None:
         key_mask = jnp.repeat(jnp.concatenate(
@@ -321,14 +323,16 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     jax.jit,
     static_argnames=("arch", "specials", "opts", "max_new_tokens",
                      "num_beams", "length_penalty", "return_timestamps",
-                     "align_dtype"))
+                     "align_dtype", "cross_cache_dtype"))
 def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                     max_new_tokens: int, num_beams: int,
                     length_penalty: float = 1.0, suppress_mask=None,
                     begin_suppress_mask=None, align_sel=None,
                     return_timestamps: bool = True,
                     align_dtype: jnp.dtype = jnp.float32,
-                    prompt_mask=None) -> BeamResult:
+                    prompt_mask=None,
+                    cross_cache_dtype: jnp.dtype | None = None
+                    ) -> BeamResult:
     return beam_decode(params, arch, specials, opts, encoder_out, prompt,
                        max_new_tokens=max_new_tokens, num_beams=num_beams,
                        length_penalty=length_penalty,
@@ -336,4 +340,5 @@ def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                        begin_suppress_mask=begin_suppress_mask,
                        align_sel=align_sel,
                        return_timestamps=return_timestamps,
-                       align_dtype=align_dtype, prompt_mask=prompt_mask)
+                       align_dtype=align_dtype, prompt_mask=prompt_mask,
+                       cross_cache_dtype=cross_cache_dtype)

@@ -63,7 +63,8 @@ def _decode_window(params, arch, specials, opts, segment_features,
             begin_suppress_mask=begin_suppress, align_sel=align_sel,
             return_timestamps=opts.return_timestamps,
             prompt_mask=(jnp.asarray(prompt_mask)
-                         if prompt_mask is not None else None))
+                         if prompt_mask is not None else None),
+            cross_cache_dtype=(jnp.int8 if opts.kv_cache_int8 else None))
         score = np.asarray(res.sequences_scores)
         is_normalized = True
     else:
