@@ -13,8 +13,7 @@ O(log n) rounding error keeps quiet-bin parity with the reference's
 torch.stft, unlike an f32 matmul-DFT whose O(n) accumulation error blows up
 under log10) -> mel projection as one [201, n_mels] matmul on the MXU.
 Shapes are fully static: every input is a 30 s window (480000 samples ->
-3000 frames). A windowed matmul-DFT basis is kept for the fused Pallas
-kernel variant (`_windowed_dft_basis`).
+3000 frames). The fused Pallas kernel variant lives in audio/pallas_mel.py.
 """
 
 from __future__ import annotations
@@ -81,20 +80,6 @@ def mel_filter_bank(num_frequency_bins: int = 201, num_mel_filters: int = 80,
                    filter_freqs[:num_mel_filters])
     fb = fb * np.expand_dims(enorm, 0)
     return fb.astype(np.float32)
-
-
-@functools.lru_cache(maxsize=4)
-def _windowed_dft_basis(n_fft: int = 400) -> np.ndarray:
-    """[n_fft, 2 * (n_fft//2 + 1)] real-DFT basis with the periodic hann
-    analysis window folded in; columns interleave [cos..., sin...]."""
-    n_bins = n_fft // 2 + 1
-    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))
-    t = np.arange(n_fft, dtype=np.float64)
-    k = np.arange(n_bins, dtype=np.float64)
-    ang = 2.0 * np.pi * np.outer(t, k) / n_fft
-    cos_b = np.cos(ang) * window[:, None]
-    sin_b = -np.sin(ang) * window[:, None]
-    return np.concatenate([cos_b, sin_b], axis=1).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -545,7 +545,7 @@ def init_params(arch: WhisperArch, key: jax.Array,
         return {"scale": jnp.ones((d,), jnp.float32),
                 "bias": jnp.zeros((d,), jnp.float32)}
 
-    d, dh = arch.d_model, arch.head_dim
+    d = arch.d_model
 
     def attn_params(bias_k=False):
         return {"q": lin(d, d), "k": lin(d, d, bias=bias_k), "v": lin(d, d),
@@ -589,5 +589,4 @@ def init_params(arch: WhisperArch, key: jax.Array,
             "ln": ln(d),
         },
     }
-    del dh
     return params
