@@ -32,7 +32,7 @@ def test_pallas_dtw_matches_scan_dtw():
 
 def test_fused_attention_interpret_matches_eager():
     from crisperwhisper_tpu.models.whisper import attention
-    from crisperwhisper_tpu.ops import fused_attention as fa
+    import crisperwhisper_tpu.ops.fused_attention as fa
     import functools
     from jax.experimental import pallas as pl
     rng = np.random.default_rng(1)
