@@ -159,8 +159,12 @@ class ASRPipeline:
         outputs: list[dict] = [None] * len(chunks)  # type: ignore
         for start in range(0, len(chunks), bs):
             group = chunks[start:start + bs]
-            batch = np.zeros((len(group), n_samples), np.float32)
-            num_frames = np.zeros((len(group),), np.int64)
+            # pad the tail group to the full static batch (dummy rows are
+            # dropped below) — ONE compiled program serves every group
+            gb = bs if len(chunks) > bs else len(group)
+            batch = np.zeros((gb, n_samples), np.float32)
+            num_frames = np.full((gb,), n_samples // self.feat_cfg.hop_length,
+                                 np.int64)
             for i, c in enumerate(group):
                 batch[i, :len(c.samples)] = c.samples
                 num_frames[i] = len(c.samples) // self.feat_cfg.hop_length

@@ -86,7 +86,13 @@ class StreamingBatcher:
             self._next_id += 1
             req = _Request(rid, len(chunks), return_timestamps,
                            adjust_pauses_threshold)
-            self._requests[rid] = req
+            if chunks:
+                self._requests[rid] = req
+        if not chunks:                       # empty/too-short audio
+            req.result = {"text": "", "chunks": []} \
+                if return_timestamps else {"text": ""}
+            req.done.set()
+            return StreamHandle(req)
         for pos, c in enumerate(chunks):
             self._queue.put((rid, pos, c))
         return StreamHandle(req)
