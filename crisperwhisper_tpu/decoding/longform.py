@@ -15,7 +15,7 @@ is a later optimization, cf. SURVEY.md §7 "batch shrink becomes masking".)
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import jax

@@ -15,15 +15,14 @@ one XLA program serves every batch — the TPU answer to dynamic batching.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Iterable, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..audio.io import load_audio
-from ..audio.mel import extract_features, pad_or_trim
+from ..audio.mel import extract_features
 from ..config import (FeatureConfig, GenerationOptions, PipelineOptions,
                       SpecialTokens, WhisperArch)
 from ..decoding.longform import generate

@@ -12,13 +12,11 @@ from __future__ import annotations
 
 import json
 import os
-import re
-from typing import Iterable, Sequence
+from typing import Sequence
 
 from .bpe import ByteLevelBPE
 from .languages import LANGUAGE_CODES, LANGUAGES, TO_LANGUAGE_CODE
 
-_TIMESTAMP_PAT = re.compile(r"<\|(\d+\.\d+)\|>")
 
 
 class WhisperTokenizer:
