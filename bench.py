@@ -68,10 +68,14 @@ def main():
         (BATCH, feat_cfg.n_samples)).astype(np.float32) * 0.1)
     prompt = jnp.full((BATCH, 1), sp.sot, jnp.int32)
 
-    @jax.jit
+    # three separate programs (mel+encode / decode / DTW), exactly like the
+    # serving pipeline — one fused program would make the peak HBM usage
+    # the UNION of all stages' buffers and OOM at larger batches
+    enc_fn = jax.jit(lambda p, a: encode(
+        p, arch, log_mel_spectrogram(a, feat_cfg, dtype=dtype)))
+
     def run(params, audio):
-        feats = log_mel_spectrogram(audio, feat_cfg, dtype=dtype)
-        enc = encode(params, arch, feats)
+        enc = enc_fn(params, audio)
         res = greedy_decode_jit(
             params, arch, sp, opts, enc, prompt, DECODE_TOKENS,
             suppress_mask=suppress, align_sel=align_sel,
