@@ -282,21 +282,18 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
 
     final = jax.lax.while_loop(cond, body, carry)
 
-    # length-stopped: fold still-running beams into the finished pool
+    # length-stopped: fold still-running beams into the candidate pool.
+    # Reference semantics (BeamSearchScorer.finalize): for batches NOT
+    # marked done, every running beam is added to the hypothesis pool with
+    # worst-eviction — so the overall best of (finished ∪ running) wins;
+    # for done batches the running beams are skipped.
     run_len = jnp.int32(max_new_tokens)
     run_scores = final.beam_scores / length_pen(run_len)
-    # running beam r is a candidate when the pool isn't full
     all_scores = jnp.concatenate([final.fin_scores, run_scores], axis=1)
     all_lens = jnp.concatenate(
         [final.fin_lens, jnp.full((b, nb), run_len, jnp.int32)], axis=1)
     all_tokens = jnp.concatenate([final.fin_tokens, final.tokens], axis=1)
-    # prefer finished beams (reference only uses running beams when fewer
-    # than nb finished): mask running if pool full
-    run_valid = jnp.arange(nb)[None, :] < (nb - final.fin_count[:, None])
-    # running beams sorted by score are candidates in order
-    run_order = jnp.argsort(-run_scores, axis=1)
-    run_mask = jnp.zeros((b, nb), bool).at[
-        jnp.arange(b)[:, None], run_order].set(run_valid)
+    run_mask = jnp.broadcast_to(~final.done[:, None], (b, nb))
     valid = jnp.concatenate(
         [final.fin_scores > NEG_INF, run_mask], axis=1)
     masked_scores = jnp.where(valid, all_scores, NEG_INF)
