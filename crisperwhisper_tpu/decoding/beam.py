@@ -46,7 +46,8 @@ class BeamResult(NamedTuple):
 class _Carry(NamedTuple):
     t: jax.Array
     tokens: jax.Array             # [B, NB, T_total]
-    cache: Any
+    self_k: jax.Array             # mutable cache halves only (cross K/V is
+    self_v: jax.Array             # a loop-invariant closure constant)
     state: TimestampState         # leaves [B*NB]
     beam_scores: jax.Array        # [B, NB] running sum-logprob
     fin_tokens: jax.Array         # [B, NB, T_total]
@@ -97,7 +98,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                              ) * jnp.ones((b, 1))
 
     carry = _Carry(
-        t=jnp.int32(0), tokens=tokens0, cache=cache,
+        t=jnp.int32(0), tokens=tokens0,
+        self_k=cache.self_k, self_v=cache.self_v,
         state=TimestampState.init(flat),
         beam_scores=beam_scores0,
         fin_tokens=jnp.full((b, nb, t_total), eot, jnp.int32),
@@ -120,9 +122,11 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
 
     def body(c: _Carry) -> _Carry:
         feed = c.tokens.reshape(flat, t_total)[:, c.t]
-        logits, cache, align = decode_step(params, arch, feed, c.t,
-                                           c.cache, align_sel=align_sel,
-                                           key_mask=key_mask)
+        step_cache = cache._replace(self_k=c.self_k, self_v=c.self_v)
+        logits, new_cache, align = decode_step(params, arch, feed, c.t,
+                                               step_cache,
+                                               align_sel=align_sel,
+                                               key_mask=key_mask)
         # record alignment rows of the query tokens (t >= p)
         slot = jnp.maximum(c.t - p, 0)
         record = c.t >= p
@@ -271,10 +275,11 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
 
         # reorder self-attention cache by src beam (flat indices)
         flat_src = (new_src + jnp.arange(b)[:, None] * nb).reshape(flat)
-        cache = cache._replace(
-            self_k=cache.self_k[:, flat_src], self_v=cache.self_v[:, flat_src])
+        self_k = new_cache.self_k[:, flat_src]
+        self_v = new_cache.self_v[:, flat_src]
 
-        return _Carry(t=c.t + 1, tokens=tokens, cache=cache, state=state,
+        return _Carry(t=c.t + 1, tokens=tokens, self_k=self_k,
+                      self_v=self_v, state=state,
                       beam_scores=beam_scores, fin_tokens=fin_tokens,
                       fin_scores=fin_scores, fin_lens=fin_lens,
                       fin_count=fin_count, fin_align=fin_align,

@@ -47,8 +47,9 @@ class DecodeResult(NamedTuple):
 class _Carry(NamedTuple):
     t: jax.Array                      # scalar int32 current feed position
     tokens: jax.Array                 # [B, T_total]
-    cache: DecoderCache
-    state: TimestampState
+    self_k: jax.Array                 # mutable cache halves only — the
+    self_v: jax.Array                 # loop-invariant cross K/V stays a
+    state: TimestampState             # closure constant (no carry copies)
     finished: jax.Array               # [B] bool
     sum_logprobs: jax.Array           # [B] f32
     no_speech: jax.Array              # [B] f32
@@ -102,7 +103,8 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     carry = _Carry(
         t=jnp.int32(0),
         tokens=tokens0,
-        cache=cache,
+        self_k=cache.self_k,
+        self_v=cache.self_v,
         state=TimestampState.init(b),
         finished=jnp.zeros((b,), bool),
         sum_logprobs=jnp.zeros((b,), jnp.float32),
@@ -118,9 +120,11 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
 
     def body(c: _Carry) -> _Carry:
         feed = c.tokens[:, c.t]
-        logits, cache, align = decode_step(params, arch, feed, c.t, c.cache,
-                                           align_sel=align_sel,
-                                           key_mask=key_mask)
+        step_cache = cache._replace(self_k=c.self_k, self_v=c.self_v)
+        logits, new_cache, align = decode_step(params, arch, feed, c.t,
+                                               step_cache,
+                                               align_sel=align_sel,
+                                               key_mask=key_mask)
         # record alignment rows for generated-query steps (t >= P)
         slot = jnp.maximum(c.t - p, 0)
         record = (c.t >= p) & ~c.finished
@@ -167,8 +171,10 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
         tokens = jax.lax.dynamic_update_slice(
             c.tokens, next_tok[:, None], (0, c.t + 1))
 
-        return _Carry(t=c.t + 1, tokens=tokens, cache=cache, state=state,
-                      finished=finished, sum_logprobs=sum_logprobs,
+        return _Carry(t=c.t + 1, tokens=tokens,
+                      self_k=new_cache.self_k, self_v=new_cache.self_v,
+                      state=state, finished=finished,
+                      sum_logprobs=sum_logprobs,
                       no_speech=no_speech, align_buf=align_buf, key=key)
 
     final = jax.lax.while_loop(cond, body, carry)
