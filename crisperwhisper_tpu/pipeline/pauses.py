@@ -1,11 +1,19 @@
-"""Pause-aware word-boundary redistribution — bit-exact port.
+"""Pause-aware word-boundary redistribution.
 
 The one algorithmic contribution hosted in the reference repo itself
-(ref:utils.py:1-29 `adjust_pauses_for_hf_pipeline_output`): for each
-adjacent word pair with a positive gap, extend the current word's end and
-the next word's start toward each other by min(gap, split_threshold)/2,
-converting pause time absorbed into (space) tokens into symmetric word
-boundaries.
+(ref:utils.py:1-29): CrisperWhisper's adjusted tokenizer attributes pause
+time to standalone space tokens, so raw word intervals hug the speech
+tightly and gaps collect between words. This pass gives each word half of
+the adjacent gap back — capped at ``split_threshold`` seconds per gap —
+which symmetrizes boundary placement and is what the reference's README
+recipe applies to every pipeline output (ref:README.md:174).
+
+Bit-exactness contract (tests/test_tokenizer.py): for a gap g > 0 between
+word i's end e_i and word i+1's start s_{i+1}:
+    d = min(g, split_threshold) / 2
+    e_i += d ; s_{i+1} -= d
+computed in iteration order, like the reference, so a word adjusted on its
+right keeps that adjustment when its left neighbor is processed next.
 """
 
 from __future__ import annotations
@@ -15,27 +23,22 @@ from typing import Any
 
 def adjust_pauses(pipeline_output: dict[str, Any],
                   split_threshold: float = 0.12) -> dict[str, Any]:
-    """Mutates and returns pipeline_output, same contract as the reference."""
-    adjusted_chunks = pipeline_output["chunks"].copy()
+    """Redistribute inter-word pauses in a ``{"chunks": [...]}`` result.
 
-    for i in range(len(adjusted_chunks) - 1):
-        current_chunk = adjusted_chunks[i]
-        next_chunk = adjusted_chunks[i + 1]
-
-        current_start, current_end = current_chunk["timestamp"]
-        next_start, next_end = next_chunk["timestamp"]
-        pause_duration = next_start - current_end
-
-        if pause_duration > 0:
-            if pause_duration > split_threshold:
-                distribute = split_threshold / 2
-            else:
-                distribute = pause_duration / 2
-            adjusted_chunks[i]["timestamp"] = (current_start,
-                                               current_end + distribute)
-            adjusted_chunks[i + 1]["timestamp"] = (next_start - distribute,
-                                                   next_end)
-    pipeline_output["chunks"] = adjusted_chunks
+    Mutates (and returns) ``pipeline_output``, matching the reference's
+    in-place contract.
+    """
+    words = list(pipeline_output["chunks"])
+    for i in range(len(words) - 1):
+        left_start, left_end = words[i]["timestamp"]
+        right_start, right_end = words[i + 1]["timestamp"]
+        gap = right_start - left_end
+        if gap <= 0:
+            continue
+        half = (split_threshold if gap > split_threshold else gap) / 2
+        words[i]["timestamp"] = (left_start, left_end + half)
+        words[i + 1]["timestamp"] = (right_start - half, right_end)
+    pipeline_output["chunks"] = words
     return pipeline_output
 
 
