@@ -81,10 +81,11 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     eot = specials.eot
     flat = b * nb
 
-    # beams share the encoder output; expand per beam for the flat cache
-    enc_exp = jnp.repeat(encoder_out, nb, axis=0)          # [B*NB, K, d]
-    cache = init_cache(params, arch, enc_exp, cache_len=t_total,
-                       cross_dtype=cross_cache_dtype)
+    # beams SHARE the cross-K/V (one copy per source item); only the self
+    # ring is per-beam. decode_step(beam_groups=nb) routes beams through
+    # the cross attention as extra query rows.
+    cache = init_cache(params, arch, encoder_out, cache_len=t_total,
+                       cross_dtype=cross_cache_dtype, self_batch=flat)
     key_mask = None
     if prompt_mask is not None:
         key_mask = jnp.repeat(jnp.concatenate(
@@ -126,7 +127,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
         logits, new_cache, align = decode_step(params, arch, feed, c.t,
                                                step_cache,
                                                align_sel=align_sel,
-                                               key_mask=key_mask)
+                                               key_mask=key_mask,
+                                               beam_groups=nb)
         # record alignment rows of the query tokens (t >= p)
         slot = jnp.maximum(c.t - p, 0)
         record = c.t >= p

@@ -246,12 +246,16 @@ def _quantize_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
                dtype: jnp.dtype | None = None,
                cross_dtype: jnp.dtype | None = None,
-               cache_len: int | None = None) -> DecoderCache:
+               cache_len: int | None = None,
+               self_batch: int | None = None) -> DecoderCache:
     """cross_dtype=jnp.int8 enables the quantized cross cache.
     cache_len sizes the self-attention ring (default max_target_positions;
-    decode is HBM-bound, so allocating only prompt+max_new saves traffic)."""
+    decode is HBM-bound, so allocating only prompt+max_new saves traffic).
+    self_batch sizes the self ring's batch independently of the encoder
+    batch — beam search shares cross-K/V across beams (self_batch = B*NB
+    with encoder_out batch B; see decode_step(beam_groups=...))."""
     dec = params["decoder"]
-    b = encoder_out.shape[0]
+    b = self_batch if self_batch is not None else encoder_out.shape[0]
     h = arch.decoder_attention_heads
     dh = arch.head_dim
     dtype = dtype or encoder_out.dtype
@@ -295,7 +299,8 @@ def alignment_selector(arch: WhisperArch,
 def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
                 position: jax.Array, cache: DecoderCache,
                 align_sel: jax.Array | None = None,
-                key_mask: jax.Array | None = None
+                key_mask: jax.Array | None = None,
+                beam_groups: int = 1
                 ) -> tuple[jax.Array, DecoderCache, jax.Array]:
     """One incremental decoder step.
 
@@ -310,6 +315,11 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         decoder_attention_mask analog of hf _prepare_decoder_input_ids
         :1936-1938). Positions still advance over pads, as in the
         reference.
+      beam_groups: when > 1 the B rows are NB consecutive beams per source
+        item and the CROSS cache holds one copy per item ([.., B/NB, ..]):
+        beams ride the cross-attention as extra query positions, so the
+        encoder K/V is never expanded per beam (the reference expands it,
+        hf generation expand_inputs; this saves NBx cross-cache memory).
     Returns:
       (logits [B, vocab] f32, new cache, align_probs [B, A, 1500] f32 —
        zeros when align_sel is None).
@@ -370,18 +380,37 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         # --- cross-attention against cached encoder K/V
         y = layer_norm(hidden, lp["ln2"])
         qc = _split_heads(dense(y, lp["cross"]["q"]) * scale, h)
+        if beam_groups > 1:
+            # [B, H, 1, Dh] -> [B/NB, H, NB, Dh]: beams share the item's
+            # K/V as extra query rows
+            b0 = b // beam_groups
+            dh = arch.head_dim
+            qc = jnp.swapaxes(
+                qc[:, :, 0, :].reshape(b0, beam_groups, h, dh), 1, 2)
+        probs_row = None
         if quantized:
-            from ..ops.decode_attention import dequant_reference
-            from ..ops.decode_attention_v2 import cross_attention_int8_v2
-            fn = cross_attention_int8_v2 if use_int8_kernel \
-                else dequant_reference
-            cross_out, probs_row = fn(qc, layer_cross_k, kv_scales[0],
-                                      layer_cross_v, kv_scales[1])
+            if use_int8_kernel and beam_groups == 1:
+                from ..ops.decode_attention_v2 import cross_attention_int8_v2
+                cross_out, probs_row = cross_attention_int8_v2(
+                    qc, layer_cross_k, kv_scales[0], layer_cross_v,
+                    kv_scales[1])
+            else:
+                from ..ops.decode_attention import dequant_reference
+                cross_out, probs_full = dequant_reference(
+                    qc, layer_cross_k, kv_scales[0], layer_cross_v,
+                    kv_scales[1])
             cross_out = cross_out.astype(hidden.dtype)
         else:
-            cross_out, cross_probs = attention(qc, layer_cross_k,
-                                               layer_cross_v)
-            probs_row = cross_probs[:, :, 0, :]
+            cross_out, probs_full = attention(qc, layer_cross_k,
+                                              layer_cross_v)
+        if beam_groups > 1:
+            # [B/NB, H, NB, Dh] -> [B, H, 1, Dh]; probs likewise
+            cross_out = jnp.swapaxes(cross_out, 1, 2).reshape(
+                b, h, 1, arch.head_dim)
+            probs_row = jnp.swapaxes(probs_full, 1, 2).reshape(
+                b, h, probs_full.shape[-1])
+        elif probs_row is None:
+            probs_row = probs_full[:, :, 0, :]
         hidden = hidden + dense(_merge_heads(cross_out), lp["cross"]["o"])
         # in-graph alignment-head selection: [B,H,K] x [H,A] -> [B,A,K]
         aligned = jnp.einsum("bhk,ha->bak", probs_row, sel,

@@ -90,6 +90,8 @@ def dequant_reference(q, k_q, k_s, v_q, v_s):
     materialization of dequantized K/V):
         s_j  = (q . k_j^int8) * k_scale_j
         out  = sum_j (p_j * v_scale_j) * v_j^int8
+    q may carry any query length (beam-grouped decode uses Tq = NB).
+    Returns (out [B,H,Tq,D], probs [B,H,Tq,K] f32).
     """
     s = jnp.einsum("bhqd,bhkd->bhqk", q,
                    k_q.astype(q.dtype),
@@ -100,4 +102,4 @@ def dequant_reference(q, k_q, k_s, v_q, v_s):
     out = jnp.einsum("bhqk,bhkd->bhqd", pv.astype(q.dtype),
                      v_q.astype(q.dtype),
                      preferred_element_type=jnp.float32)
-    return out.astype(q.dtype), p[:, :, 0, :]
+    return out.astype(q.dtype), p

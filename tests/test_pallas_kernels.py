@@ -82,5 +82,5 @@ def test_int8_decode_attention_reference_close_to_fp():
     out, probs = dequant_reference(q, kq, ks, vq, vs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                atol=0.05)
-    np.testing.assert_allclose(np.asarray(probs),
-                               np.asarray(ref_probs[:, :, 0, :]), atol=0.02)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               atol=0.02)
