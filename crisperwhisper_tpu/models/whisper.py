@@ -217,15 +217,19 @@ def encode(params: Params, arch: WhisperArch,
 
 
 class DecoderCache(NamedTuple):
-    """Static-shape decode state.
+    """Static-shape decode state, stored SEQUENCE-LAST.
 
-    self_k/self_v: [L, B, H, max_target, Dh] — preallocated ring for the
-    causal self-attention (EncoderDecoderCache analog, SURVEY.md §2.3).
-    cross_k/cross_v: [L, B, H, K_enc, Dh] — computed once at step 0
-    (modeling_whisper.py:321-346 `is_updated` logic, made structural here).
-    cross_k_scale/cross_v_scale: [L, B, H, K_enc, 1] — per-position
-    dequant scales when the cross cache is int8 (decode is HBM-bound on
-    cross-K/V reads; int8 halves that traffic). None => cross is bf16/f32.
+    self_k/self_v: [L, B, H, Dh, max_target]; cross_k/cross_v:
+    [L, B, H, Dh, K_enc] (computed once at step 0 — the
+    modeling_whisper.py:321-346 `is_updated` logic made structural).
+
+    Layout rationale: TPU tiles the last two dims to (sublane, 128 lanes).
+    A head-dim-last layout [.., T, 64] pads 64 -> 128 lanes, DOUBLING both
+    HBM footprint and per-step read traffic of the decode bottleneck;
+    sequence-last keeps the 128-lane axis ~full (1500 -> 1536).
+
+    cross_k_scale/cross_v_scale: [L, B, H, 1, K_enc] per-position dequant
+    scales when the cross cache is int8. None => cross is bf16/f32.
     """
     self_k: jax.Array
     self_v: jax.Array
@@ -235,9 +239,10 @@ class DecoderCache(NamedTuple):
     cross_v_scale: jax.Array | None = None
 
 
-def _quantize_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Symmetric int8 over the last axis: returns (q, scale[..., :1])."""
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+def _quantize_int8(x: jax.Array, axis: int = -1
+                   ) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 over `axis`: returns (q, scale with axis kept=1)."""
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
     return q, scale.astype(jnp.bfloat16)
@@ -260,26 +265,34 @@ def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
     dh = arch.head_dim
     dtype = dtype or encoder_out.dtype
     cache_len = cache_len or arch.max_target_positions
+    quantize = cross_dtype == jnp.int8
 
     def per_layer_cross(lp):
-        k = _split_heads(dense(encoder_out, lp["cross"]["k"]), h)
-        v = _split_heads(dense(encoder_out, lp["cross"]["v"]), h)
-        return k, v
+        # [B, H, Dh, K]; per-layer quantization here keeps the full-stack
+        # bf16 cross tensor from ever materializing
+        k = jnp.swapaxes(_split_heads(dense(encoder_out, lp["cross"]["k"]),
+                                      h), -1, -2)
+        v = jnp.swapaxes(_split_heads(dense(encoder_out, lp["cross"]["v"]),
+                                      h), -1, -2)
+        if quantize:
+            kq, ks = _quantize_int8(k.astype(jnp.float32), axis=-2)
+            vq, vs = _quantize_int8(v.astype(jnp.float32), axis=-2)
+            return kq, ks, vq, vs
+        return k.astype(dtype), v.astype(dtype)
 
-    cross_k, cross_v = jax.lax.map(per_layer_cross, dec["layers"])
-    shape = (arch.decoder_layers, b, h, cache_len, dh)
-    if cross_dtype == jnp.int8:
-        kq, ks = _quantize_int8(cross_k.astype(jnp.float32))
-        vq, vs = _quantize_int8(cross_v.astype(jnp.float32))
+    shape = (arch.decoder_layers, b, h, dh, cache_len)
+    if quantize:
+        kq, ks, vq, vs = jax.lax.map(per_layer_cross, dec["layers"])
         return DecoderCache(self_k=jnp.zeros(shape, dtype),
                             self_v=jnp.zeros(shape, dtype),
                             cross_k=kq, cross_v=vq,
                             cross_k_scale=ks, cross_v_scale=vs)
+    cross_k, cross_v = jax.lax.map(per_layer_cross, dec["layers"])
     return DecoderCache(
         self_k=jnp.zeros(shape, dtype),
         self_v=jnp.zeros(shape, dtype),
-        cross_k=cross_k.astype(dtype),
-        cross_v=cross_v.astype(dtype),
+        cross_k=cross_k,
+        cross_v=cross_v,
     )
 
 
@@ -335,7 +348,7 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     x = x[:, None, :]                                 # [B, 1, d]
 
     # causal mask over cache positions: attend to <= position
-    pos_ids = jnp.arange(cache.self_k.shape[3])
+    pos_ids = jnp.arange(cache.self_k.shape[-1])
     self_mask = (pos_ids <= position)[None, None, None, :]
     if key_mask is not None:
         self_mask = self_mask & key_mask[:, None, None, :]
@@ -345,37 +358,47 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
 
     # The full cache rides the scan CARRY with per-layer in-place slice
     # updates — XLA aliases carry buffers, so each step writes only the
-    # new [B, H, 1, Dh] row instead of materializing stacked multi-GB
+    # new [B, H, Dh, 1] column instead of materializing stacked multi-GB
     # scan outputs (the naive ys formulation copies the whole cache every
-    # token and dominates decode time).
-    # int8 cross-attention path selection. Measured on v5e (B=24,
-    # large-v3): the all-heads-per-program Pallas kernel
-    # (decode_attention_v2) wins 26x as an ISOLATED dispatch (1.3 vs
-    # 33.7 ms/call — XLA materializes converted operands there), but
-    # INSIDE the fused decode loop XLA schedules the folded-dequant dot
-    # better (18.9 vs 25.9 ms/step end-to-end): the per-layer pallas_call
-    # breaks cross-layer prefetch overlap. Default: XLA folded form;
-    # CW_INT8_PALLAS=1 selects the kernel (useful for non-scan callers).
-    use_int8_kernel = False
-    if quantized:
-        import os
-        from ..ops.fused_attention import supports_pallas
-        use_int8_kernel = (supports_pallas()
-                           and os.environ.get("CW_INT8_PALLAS") == "1")
+    # token and dominates decode time). int8 dequantization happens via
+    # per-position scales folded OUTSIDE the dots, so the int8->bf16
+    # convert fuses into the dot's operand read.
+
+    def seq_last_attention(q, k_dk, v_dk, mask=None,
+                           k_scale=None, v_scale=None):
+        """Attention over sequence-last K/V: q [B,H,Tq,Dh],
+        k_dk/v_dk [B,H,Dh,T] (+ optional int8 per-position scales
+        [B,H,1,T] folded outside the dots). Returns (out [B,H,Tq,Dh],
+        probs [B,H,Tq,T] f32)."""
+        s = jnp.einsum("bhqd,bhdt->bhqt", q, k_dk.astype(q.dtype),
+                       preferred_element_type=jnp.float32)
+        if k_scale is not None:
+            s = s * k_scale.astype(jnp.float32)
+        if mask is not None:
+            s = jnp.where(mask, s, jnp.float32(-1e9))
+        p = jax.nn.softmax(s, axis=-1)
+        pv = p if v_scale is None else p * v_scale.astype(jnp.float32)
+        out = jnp.einsum("bhqt,bhdt->bhqd", pv.astype(q.dtype),
+                         v_dk.astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        return out.astype(q.dtype), p
 
     def body(carry, layer_in):
         hidden, self_k, self_v = carry
         li, lp, layer_cross_k, layer_cross_v, kv_scales, sel = layer_in
-        # --- self-attention against the ring cache
+        # --- self-attention against the ring cache (sequence-last)
         y = layer_norm(hidden, lp["ln1"])
         q, k_new, v_new = _self_qkv(y, lp["self"], h, scale)
+        # k_new/v_new: [B, H, 1, Dh] -> column [B, H, Dh, 1] at `position`
         self_k = jax.lax.dynamic_update_slice(
-            self_k, k_new.astype(dtype)[None], (li, 0, 0, position, 0))
+            self_k, jnp.swapaxes(k_new, -1, -2).astype(dtype)[None],
+            (li, 0, 0, 0, position))
         self_v = jax.lax.dynamic_update_slice(
-            self_v, v_new.astype(dtype)[None], (li, 0, 0, position, 0))
+            self_v, jnp.swapaxes(v_new, -1, -2).astype(dtype)[None],
+            (li, 0, 0, 0, position))
         k_all = jax.lax.dynamic_index_in_dim(self_k, li, 0, keepdims=False)
         v_all = jax.lax.dynamic_index_in_dim(self_v, li, 0, keepdims=False)
-        attn_out, _ = attention(q, k_all, v_all, self_mask)
+        attn_out, _ = seq_last_attention(q, k_all, v_all, self_mask)
         hidden = hidden + dense(_merge_heads(attn_out), lp["self"]["o"])
         # --- cross-attention against cached encoder K/V
         y = layer_norm(hidden, lp["ln2"])
@@ -384,32 +407,21 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
             # [B, H, 1, Dh] -> [B/NB, H, NB, Dh]: beams share the item's
             # K/V as extra query rows
             b0 = b // beam_groups
-            dh = arch.head_dim
             qc = jnp.swapaxes(
-                qc[:, :, 0, :].reshape(b0, beam_groups, h, dh), 1, 2)
-        probs_row = None
-        if quantized:
-            if use_int8_kernel and beam_groups == 1:
-                from ..ops.decode_attention_v2 import cross_attention_int8_v2
-                cross_out, probs_row = cross_attention_int8_v2(
-                    qc, layer_cross_k, kv_scales[0], layer_cross_v,
-                    kv_scales[1])
-            else:
-                from ..ops.decode_attention import dequant_reference
-                cross_out, probs_full = dequant_reference(
-                    qc, layer_cross_k, kv_scales[0], layer_cross_v,
-                    kv_scales[1])
-            cross_out = cross_out.astype(hidden.dtype)
-        else:
-            cross_out, probs_full = attention(qc, layer_cross_k,
-                                              layer_cross_v)
+                qc[:, :, 0, :].reshape(b0, beam_groups, h, arch.head_dim),
+                1, 2)
+        cross_out, probs_full = seq_last_attention(
+            qc, layer_cross_k, layer_cross_v,
+            k_scale=kv_scales[0] if quantized else None,
+            v_scale=kv_scales[1] if quantized else None)
+        cross_out = cross_out.astype(hidden.dtype)
         if beam_groups > 1:
             # [B/NB, H, NB, Dh] -> [B, H, 1, Dh]; probs likewise
             cross_out = jnp.swapaxes(cross_out, 1, 2).reshape(
                 b, h, 1, arch.head_dim)
             probs_row = jnp.swapaxes(probs_full, 1, 2).reshape(
                 b, h, probs_full.shape[-1])
-        elif probs_row is None:
+        else:
             probs_row = probs_full[:, :, 0, :]
         hidden = hidden + dense(_merge_heads(cross_out), lp["cross"]["o"])
         # in-graph alignment-head selection: [B,H,K] x [H,A] -> [B,A,K]
