@@ -34,7 +34,7 @@ from crisperwhisper_tpu.models import (alignment_selector, encode,
                                        init_params)
 from crisperwhisper_tpu.ops.alignment import attention_to_jump_times
 
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 DECODE_TOKENS = int(os.environ.get("BENCH_TOKENS", "128"))
 ITERS = int(os.environ.get("BENCH_ITERS", "4"))
 N_ALIGN_HEADS = 15     # CrisperWhisper fine-tunes 15 heads (README:295)
