@@ -3,11 +3,15 @@
 The XLA-default encoder self-attention materializes the [B, H, 1500, 1500]
 score tensor in HBM (several GB of traffic per layer at B=16). Whisper's
 K/V per (batch, head) is tiny — 1536x64 bf16 = 200 KB — so the whole
-K/V plus a 128-row score block fit comfortably in VMEM: this kernel keeps
-scores on-chip entirely, one MXU pass for Q@K^T and one for P@V per
-(bh, q-block) program. No online-softmax machinery is needed at this
-sequence length (cf. flash attention); a full-width VMEM softmax is
-simpler and just as fast.
+K/V plus a score block fit comfortably in VMEM: this kernel keeps scores
+on-chip entirely, one MXU pass for Q@K^T and one for P@V per (bh, q-block)
+program. No online-softmax machinery is needed at this sequence length
+(cf. flash attention); a full-width VMEM softmax is simpler and as fast.
+
+Layout: kernel IO is [BH, Dh, T] — sequence on the 128-lane axis. The
+natural [BH, T, 64] layout pads its 64-wide lane dim to 128, doubling the
+HBM footprint and traffic of every kernel operand (the same pathology
+fixed for the decoder KV caches; see models/whisper.DecoderCache).
 
 Numerics: softmax in f32, same as the eager path (whisper applies the
 1/sqrt(d) scale to Q before the matmul — callers pass Q pre-scaled, see
@@ -31,18 +35,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
-    q = q_ref[0]                                   # [bq, D]
-    k = k_ref[0]                                   # [Tk_pad, D]
+    q = q_ref[0]                                   # [Dh, bq]
+    k = k_ref[0]                                   # [Dh, Tk_pad]
     v = v_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    # s[q, t] = sum_d q[d, q] * k[d, t]
+    s = jax.lax.dot_general(q, k, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    if kv_len < k.shape[0]:
+    if kv_len < k.shape[1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, _NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)
-    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
-                       preferred_element_type=jnp.float32
-                       ).astype(o_ref.dtype)
+    p = jax.nn.softmax(s, axis=-1)                 # [bq, Tk_pad]
+    # o[d, q] = sum_t v[d, t] * p[q, t]
+    o_ref[0] = jax.lax.dot_general(
+        v, p.astype(v.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q",))
@@ -59,29 +65,30 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     tq_pad = _round_up(tq, block_q)
     tk_pad = _round_up(tk, 128)
 
-    qf = q.reshape(b * h, tq, d)
-    kf = k.reshape(b * h, tk, d)
-    vf = v.reshape(b * h, tk, d)
-    if tq_pad != tq:
-        qf = jnp.pad(qf, ((0, 0), (0, tq_pad - tq), (0, 0)))
-    if tk_pad != tk:
-        kf = jnp.pad(kf, ((0, 0), (0, tk_pad - tk), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, tk_pad - tk), (0, 0)))
+    def to_dt(x, t_pad):          # [B, H, T, D] -> [BH, D, T_pad]
+        x = jnp.swapaxes(x, -1, -2).reshape(b * h, d, x.shape[2])
+        if t_pad != x.shape[-1]:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - x.shape[-1])))
+        return x
+
+    qf = to_dt(q, tq_pad)
+    kf = to_dt(k, tk_pad)
+    vf = to_dt(v, tk_pad)
 
     grid = (b * h, tq_pad // block_q)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, kv_len=tk),
-        out_shape=jax.ShapeDtypeStruct((b * h, tq_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, tq_pad), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qb: (bh, qb, 0),
+            pl.BlockSpec((1, d, block_q), lambda bh, qb: (bh, 0, qb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda bh, qb: (bh, 0, 0),
+            pl.BlockSpec((1, d, tk_pad), lambda bh, qb: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda bh, qb: (bh, 0, 0),
+            pl.BlockSpec((1, d, tk_pad), lambda bh, qb: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qb: (bh, qb, 0),
+        out_specs=pl.BlockSpec((1, d, block_q), lambda bh, qb: (bh, 0, qb),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tq_pad * tk_pad * d,
@@ -89,7 +96,9 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             transcendentals=b * h * tq_pad * tk_pad,
         ),
     )(qf, kf, vf)
-    return out[:, :tq].reshape(b, h, tq, d)
+    # [BH, D, Tq_pad] -> [B, H, Tq, D]
+    out = out[:, :, :tq].reshape(b, h, d, tq)
+    return jnp.swapaxes(out, -1, -2)
 
 
 def supports_pallas() -> bool:
