@@ -70,7 +70,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 return_timestamps: bool = True,
                 align_dtype: jnp.dtype = jnp.float32,
                 prompt_mask: jax.Array | None = None,
-                cross_cache_dtype: jnp.dtype | None = None) -> BeamResult:
+                cross_cache_dtype: jnp.dtype | None = None,
+                sot_position: int = 0) -> BeamResult:
     b, p = prompt.shape
     nb = num_beams
     k_frames = encoder_out.shape[1]
@@ -142,9 +143,11 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                       old_slice).astype(c.align_buf.dtype),
             (0, 0, 0, slot, 0))
 
+        # no-speech prob from RAW logits AT THE SOT POSITION (see
+        # greedy.py — logits_process.py:2099-2105 semantics)
         raw_probs = jax.nn.softmax(logits, axis=-1)     # [flat, V]
         no_speech = jnp.where(
-            c.t == p - 1,
+            c.t == sot_position,
             raw_probs.reshape(b, nb, -1)[:, 0, specials.no_speech],
             c.no_speech)
 
@@ -335,8 +338,8 @@ def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                     return_timestamps: bool = True,
                     align_dtype: jnp.dtype = jnp.float32,
                     prompt_mask=None,
-                    cross_cache_dtype: jnp.dtype | None = None
-                    ) -> BeamResult:
+                    cross_cache_dtype: jnp.dtype | None = None,
+                    sot_position: int = 0) -> BeamResult:
     return beam_decode(params, arch, specials, opts, encoder_out, prompt,
                        max_new_tokens=max_new_tokens, num_beams=num_beams,
                        length_penalty=length_penalty,
@@ -345,4 +348,5 @@ def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                        align_sel=align_sel,
                        return_timestamps=return_timestamps,
                        align_dtype=align_dtype, prompt_mask=prompt_mask,
-                       cross_cache_dtype=cross_cache_dtype)
+                       cross_cache_dtype=cross_cache_dtype,
+                       sot_position=sot_position)

@@ -69,7 +69,8 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                   rng: jax.Array | None = None,
                   align_dtype: jnp.dtype = jnp.float32,
                   cross_cache_dtype: jnp.dtype | None = None,
-                  prompt_mask: jax.Array | None = None) -> DecodeResult:
+                  prompt_mask: jax.Array | None = None,
+                  sot_position: int = 0) -> DecodeResult:
     """Decode a batch against precomputed encoder states.
 
     prompt: [B, P] int32 forced prefix (e.g. [sot, lang, task]); same
@@ -138,9 +139,13 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
             (0, 0, slot, 0))
 
         is_sampling_step = c.t >= p - 1
-        # no-speech prob from RAW logits at the first sampling step
+        # no-speech prob from RAW logits AT THE SOT POSITION — the
+        # reference reads logits[:, begin_index - start_of_trans_offset],
+        # i.e. the step whose input token is <|startoftranscript|>
+        # (logits_process.py:2099-2105) — not the last prompt position.
         raw_probs = jax.nn.softmax(logits, axis=-1)
-        no_speech = jnp.where(c.t == p - 1, raw_probs[:, specials.no_speech],
+        no_speech = jnp.where(c.t == sot_position,
+                              raw_probs[:, specials.no_speech],
                               c.no_speech)
 
         scores = process_scores(logits, c.state, specials, opts,
@@ -200,7 +205,8 @@ def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                       temperature=0.0, rng=None,
                       align_dtype: jnp.dtype = jnp.float32,
                       cross_cache_dtype: jnp.dtype | None = None,
-                      prompt_mask=None) -> DecodeResult:
+                      prompt_mask=None, sot_position: int = 0
+                      ) -> DecodeResult:
     return greedy_decode(params, arch, specials, opts, encoder_out, prompt,
                          max_new_tokens=max_new_tokens,
                          suppress_mask=suppress_mask,
@@ -210,4 +216,5 @@ def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                          temperature=temperature, rng=rng,
                          align_dtype=align_dtype,
                          cross_cache_dtype=cross_cache_dtype,
-                         prompt_mask=prompt_mask)
+                         prompt_mask=prompt_mask,
+                         sot_position=sot_position)

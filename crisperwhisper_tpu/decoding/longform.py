@@ -44,7 +44,8 @@ class GenerateOutput:
 
 def _decode_window(params, arch, specials, opts, segment_features,
                    prompt, max_new, suppress, begin_suppress, align_sel,
-                   temperature, rng, dtw_frames, prompt_mask=None):
+                   temperature, rng, dtw_frames, prompt_mask=None,
+                   sot_position: int = 0):
     """One batched decode of 30 s windows + on-device DTW. Returns host
     arrays: sequences, num_generated, avg_logprob_or_score, no_speech,
     jump_times.
@@ -64,7 +65,8 @@ def _decode_window(params, arch, specials, opts, segment_features,
             return_timestamps=opts.return_timestamps,
             prompt_mask=(jnp.asarray(prompt_mask)
                          if prompt_mask is not None else None),
-            cross_cache_dtype=(jnp.int8 if opts.kv_cache_int8 else None))
+            cross_cache_dtype=(jnp.int8 if opts.kv_cache_int8 else None),
+            sot_position=sot_position)
         score = np.asarray(res.sequences_scores)
         is_normalized = True
     else:
@@ -76,7 +78,8 @@ def _decode_window(params, arch, specials, opts, segment_features,
             temperature=temperature, rng=rng,
             prompt_mask=(jnp.asarray(prompt_mask)
                          if prompt_mask is not None else None),
-            cross_cache_dtype=(jnp.int8 if opts.kv_cache_int8 else None))
+            cross_cache_dtype=(jnp.int8 if opts.kv_cache_int8 else None),
+            sot_position=sot_position)
         score = np.asarray(res.sum_logprobs)
         is_normalized = False
     jump_times = None
@@ -216,6 +219,9 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                  np.ones_like(init_tokens, bool)], axis=1)
         p = iter_prompt.shape[1]
         max_new = min(opts.max_new_tokens, arch.max_target_positions - p)
+        # the SOT slot inside the (possibly prev-conditioned) prompt — the
+        # position whose raw logits carry P(<|nospeech|>)
+        sot_position = p - init_tokens.shape[1]
 
         # --- temperature fallback ladder (generate_with_fallback) ---
         resolved = ~active
@@ -226,7 +232,7 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 params, arch, specials, opts, jnp.asarray(segment),
                 iter_prompt, max_new, suppress, begin_suppress, align_sel,
                 float(temperature), sub, dtw_frames,
-                prompt_mask=iter_mask)
+                prompt_mask=iter_mask, sot_position=sot_position)
             is_last = t_idx == len(opts.temperatures) - 1
             for i in range(b):
                 if resolved[i]:
