@@ -84,7 +84,8 @@ def main():
         jumps = attention_to_jump_times(
             res.align_probs.astype(jnp.float32), 7,
             jnp.maximum(res.num_generated - 1, 0),
-            jnp.full((BATCH,), arch.max_source_positions, jnp.int32))
+            jnp.full((BATCH,), arch.max_source_positions, jnp.int32),
+            full_frames=on_tpu)
         return res.sequences, jumps
 
     def materialize(out):

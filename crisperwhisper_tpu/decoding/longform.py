@@ -85,9 +85,14 @@ def _decode_window(params, arch, specials, opts, segment_features,
     jump_times = None
     if align_sel is not None:
         n_tokens = jnp.maximum(res.num_generated - 1, 0)
+        # full-width windows (every non-final chunk) take the fused Pallas
+        # prep kernel; batches containing cropped rows use the XLA path
+        full = bool(np.all(np.asarray(dtw_frames)
+                           == arch.max_source_positions))
         jumps = attention_to_jump_times(
             res.align_probs.astype(jnp.float32), opts.median_filter_width,
-            n_tokens, jnp.asarray(dtw_frames, jnp.int32))
+            n_tokens, jnp.asarray(dtw_frames, jnp.int32),
+            full_frames=full)
         jump_times = np.asarray(jumps).astype(np.float32) * opts.time_precision
     return (np.asarray(res.sequences), np.asarray(res.num_generated),
             score, is_normalized, np.asarray(res.no_speech_probs),

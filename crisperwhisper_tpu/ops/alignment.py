@@ -219,10 +219,11 @@ def dtw_jump_times(matrix: jax.Array, n_tokens: jax.Array | None = None,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("median_width",))
+@functools.partial(jax.jit,
+                   static_argnames=("median_width", "full_frames"))
 def attention_to_jump_times(weights: jax.Array, median_width: int,
-                            n_tokens: jax.Array, n_frames: jax.Array
-                            ) -> jax.Array:
+                            n_tokens: jax.Array, n_frames: jax.Array,
+                            full_frames: bool = False) -> jax.Array:
     """Full alignment postprocess for one batch:
     [B, A, T, M] alignment-head cross-attention probabilities ->
     int32 [B, T] first-arrival frame index per generated token.
@@ -231,9 +232,25 @@ def attention_to_jump_times(weights: jax.Array, median_width: int,
     filter over frames, mean over heads, DTW on the negated matrix.
     n_tokens: [B] true generated-token counts; n_frames: [B] true encoder
     frames (num_frames//2 cropping made dynamic).
+
+    full_frames=True (a host-side promise that every n_frames == M, i.e.
+    non-final 30 s chunks) routes the z-norm/median/mean prep through the
+    fused Pallas kernel (ops/pallas_align.py) — one VMEM pass instead of
+    the multi-pass XLA chain.
     """
     b, a, t, m = weights.shape
     token_mask = jnp.arange(t)[None, :] < n_tokens[:, None]        # [B, T]
+    big = jnp.float32(1e9)
+
+    if full_frames:
+        from .fused_attention import supports_pallas
+        if supports_pallas():
+            from .pallas_align import fused_align_prep
+            mats = fused_align_prep(weights, n_tokens, median_width)
+            mats = jnp.where(token_mask[:, :, None], mats, big)
+            return jax.vmap(lambda mat, nt: dtw_jump_times(mat, nt, m))(
+                mats, n_tokens)
+
     frame_mask = jnp.arange(m)[None, :] < n_frames[:, None]        # [B, M]
 
     def per_item(w, tmask, fmask, nt, nf):
@@ -242,7 +259,6 @@ def attention_to_jump_times(weights: jax.Array, median_width: int,
         w = znorm_tokens(w, jnp.broadcast_to(tmask, (a, t)))
         w = median_filter(w, median_width, nf)
         mat = -jnp.mean(w, axis=0)                                 # [T, M]
-        big = jnp.float32(1e9)
         mat = jnp.where(tmask[:, None] & fmask[None, :], mat, big)
         return dtw_jump_times(mat, nt, nf)
 

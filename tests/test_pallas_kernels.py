@@ -67,6 +67,28 @@ def test_pallas_mel_matches_rfft_frontend():
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+def test_fused_align_prep_matches_xla_chain():
+    """Fused z-norm+median+head-mean kernel (interpret) vs the XLA chain,
+    including token masking and edge reflection."""
+    from crisperwhisper_tpu.ops.alignment import median_filter, znorm_tokens
+    from crisperwhisper_tpu.ops.pallas_align import fused_align_prep
+    rng = np.random.default_rng(4)
+    b, a, t, m = 2, 3, 25, 256
+    w = jnp.asarray(np.exp(rng.standard_normal((b, a, t, m))
+                           .astype(np.float32)))
+    nt = jnp.asarray(np.array([25, 17], np.int32))
+    tok_mask = np.arange(t)[None, :] < np.asarray(nt)[:, None]
+    ref = np.stack([
+        np.asarray(-jnp.mean(median_filter(
+            znorm_tokens(w[i], jnp.broadcast_to(jnp.asarray(tok_mask[i]),
+                                                (a, t))), 7), axis=0))
+        for i in range(b)])
+    got = np.asarray(fused_align_prep(w, nt, 7, interpret=True))
+    for i in range(b):
+        np.testing.assert_allclose(got[i][:int(nt[i])],
+                                   ref[i][:int(nt[i])], atol=1e-5)
+
+
 def test_int8_decode_attention_reference_close_to_fp():
     """Folded-scale int8 attention (the XLA serving path) vs full-precision
     attention: outputs within quantization tolerance."""
