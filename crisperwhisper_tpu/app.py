@@ -31,9 +31,17 @@ import numpy as np
 
 def process_audio_bytes(audio_bytes: bytes,
                         target_sr: int = 16000) -> np.ndarray:
-    """wav bytes -> normalized mono f32 at target_sr (ref:app.py:85-96)."""
-    from .audio.io import read_wav, resample
-    sr, waveform = read_wav(audio_bytes)
+    """audio bytes -> normalized mono f32 at target_sr (ref:app.py:85-96).
+
+    Accepts the `streamlit_mic_recorder` output contract (WAV bytes from
+    `audio["bytes"]`, ref:app.py:121-139) as well as uploaded files; any
+    non-RIFF container is decoded through the ffmpeg path."""
+    from .audio.io import ffmpeg_read, read_wav, resample
+    if audio_bytes[:4] == b"RIFF":
+        sr, waveform = read_wav(audio_bytes)
+    else:
+        waveform = ffmpeg_read(audio_bytes, target_sr)
+        sr = target_sr
     waveform = waveform.astype(np.float32)
     std = waveform.std()
     waveform = (waveform - waveform.mean()) / max(std, 1e-8)
@@ -111,9 +119,30 @@ def main() -> None:
         return build_app_pipeline(args.model_id)
 
     st.title("Verbatim transcription (TPU)")
-    uploaded = st.file_uploader("Upload audio", type=["wav"])
+    st.write("🎙️ Record audio to transcribe or 📁 upload an audio file.")
+
+    # Mic recording (ref:app.py:121-139): the component returns a dict
+    # whose "bytes" field is WAV-encoded audio. Import-gated — the rest
+    # of the app works without the component installed.
+    audio_bytes: bytes | None = None
+    try:
+        from streamlit_mic_recorder import mic_recorder
+        rec = mic_recorder(start_prompt="Start recording",
+                           stop_prompt="Stop recording",
+                           just_once=False, format="wav")
+        if rec:
+            audio_bytes = rec["bytes"]
+    except ImportError:
+        st.caption("(mic recording unavailable: `streamlit_mic_recorder` "
+                   "is not installed)")
+
+    uploaded = st.file_uploader("Or upload an audio file",
+                                type=["wav", "mp3", "ogg"])
     if uploaded is not None:
-        audio = process_audio_bytes(uploaded.read())
+        audio_bytes = uploaded.getvalue()
+
+    if audio_bytes:
+        audio = process_audio_bytes(audio_bytes)
         try:
             result = _pipe()({"raw": audio, "sampling_rate": 16000},
                              return_timestamps="word")

@@ -38,8 +38,11 @@ def hertz_to_mel_slaney(freq):
     min_log_mel = 15.0
     logstep = 27.0 / np.log(6.4)
     mels = 3.0 * freq / 200.0
+    # the 0 Hz bin takes the linear branch; keep log() off it so no
+    # divide-by-zero RuntimeWarning leaks into driver/bench logs
+    safe = np.where(freq >= min_log_hertz, freq, min_log_hertz)
     return np.where(freq >= min_log_hertz,
-                    min_log_mel + np.log(freq / min_log_hertz) * logstep,
+                    min_log_mel + np.log(safe / min_log_hertz) * logstep,
                     mels)
 
 

@@ -144,14 +144,21 @@ def params_from_state_dict(state: Mapping[str, np.ndarray], arch: WhisperArch,
             _set(tree, (stack_name, "layers", group, leaf[0], leaf[1]),
                  stacked)
 
-    def cast(x):
-        a = jnp.asarray(x)
-        # keep LN params f32 for numerics; everything else to `dtype`
-        return a.astype(dtype) if a.dtype == jnp.float32 else a
+    # LN scale/bias stay f32 (layer_norm computes in f32; bf16-rounding the
+    # affine params shifts logits enough to perturb DTW jump indices —
+    # SURVEY.md §7 hard part (e)). Everything else casts to `dtype`.
+    _F32_KEYS = {"ln", "ln1", "ln2", "ln3", "ln_post"}
 
-    params = jax.tree.map(cast, tree)
-    # LN scales/biases stay f32 (layer_norm computes in f32 anyway)
-    return params
+    def cast_tree(node, keep_f32=False):
+        if isinstance(node, dict):
+            return {k: cast_tree(v, keep_f32 or k in _F32_KEYS)
+                    for k, v in node.items()}
+        a = jnp.asarray(node)
+        if keep_f32 or a.dtype != jnp.float32:
+            return a
+        return a.astype(dtype)
+
+    return cast_tree(tree)
 
 
 def _iter_safetensor_files(model_dir: str) -> Iterable[str]:

@@ -93,16 +93,33 @@ class NativeBPEDecoder:
         self.handle = None
         if self.lib is None:
             return
-        import tempfile
+        blob = self._build_blob(bpe)
+        import hashlib
+        digest = hashlib.sha256(blob).hexdigest()
         if cache_path is None:
-            cache_path = os.path.join(tempfile.gettempdir(),
-                                      f"cwvb_{id(bpe)}.cwvb")
-        if not os.path.exists(cache_path):
-            self._write_blob(bpe, cache_path)
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "crisperwhisper_tpu")
+            os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+            cache_path = os.path.join(cache_dir, f"vocab_{digest[:32]}.cwvb")
+        # Validate any pre-existing file byte-for-byte against the vocab we
+        # were handed — the cache is keyed by content, never trusted blindly
+        # (stale/colliding/planted files are simply rewritten).
+        valid = False
+        if os.path.exists(cache_path):
+            try:
+                with open(cache_path, "rb") as f:
+                    valid = hashlib.sha256(f.read()).hexdigest() == digest
+            except OSError:
+                valid = False
+        if not valid:
+            tmp = cache_path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, cache_path)
         self.handle = self.lib.cw_vocab_load(cache_path.encode())
 
     @staticmethod
-    def _write_blob(bpe, path: str) -> None:
+    def _build_blob(bpe) -> bytes:
         n = max(bpe.decoder.keys()) + 1 if bpe.decoder else 0
         chunks: list[bytes] = []
         offsets = np.zeros(n + 1, np.uint32)
@@ -113,11 +130,8 @@ class NativeBPEDecoder:
             chunks.append(raw)
             total += len(raw)
             offsets[i + 1] = total
-        with open(path, "wb") as f:
-            f.write(b"CWVB")
-            f.write(np.uint32(n).tobytes())
-            f.write(offsets.tobytes())
-            f.write(b"".join(chunks))
+        return (b"CWVB" + np.uint32(n).tobytes() + offsets.tobytes()
+                + b"".join(chunks))
 
     @property
     def available(self) -> bool:
@@ -126,14 +140,16 @@ class NativeBPEDecoder:
     def decode(self, ids) -> str:
         ids = np.ascontiguousarray(np.asarray(ids, np.int32))
         cap = max(len(ids) * 16, 64)
-        out = np.empty(cap, np.uint8)
-        written = self.lib.cw_decode(self.handle, ids, len(ids), out, cap)
-        if written < 0:          # grow
-            cap *= 8
+        for _ in range(4):       # grow until it fits; never return short
             out = np.empty(cap, np.uint8)
             written = self.lib.cw_decode(self.handle, ids, len(ids), out,
                                          cap)
-        return out[:written].tobytes().decode("utf-8", errors="replace")
+            if written >= 0:
+                return out[:written].tobytes().decode(
+                    "utf-8", errors="replace")
+            cap *= 8
+        raise RuntimeError(
+            "native BPE decode failed (output exceeds retry capacity)")
 
     def __del__(self):
         if self.lib is not None and self.handle:

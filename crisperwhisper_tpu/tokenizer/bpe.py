@@ -148,7 +148,10 @@ class ByteLevelBPE:
         ids = list(ids)
         native = self._native_decoder()
         if native is not None:
-            return native.decode([i for i in ids if i in self.decoder])
+            try:
+                return native.decode([i for i in ids if i in self.decoder])
+            except RuntimeError:
+                pass            # capacity exhausted — pure-Python fallback
         return self.decode_tokens(self.decoder[i] for i in ids
                                   if i in self.decoder)
 

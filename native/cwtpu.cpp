@@ -96,7 +96,10 @@ int cw_wav_info(const uint8_t* buf, int64_t len, int32_t* sample_rate,
       std::memcpy(&w, buf + p + 10, 2); ch = w;
       std::memcpy(&sr, buf + p + 12, 4);
       std::memcpy(&w, buf + p + 22, 2); bps = w;
-      if (fmt == 0xFFFE && sz >= 40) {  // WAVE_FORMAT_EXTENSIBLE
+      // WAVE_FORMAT_EXTENSIBLE: the sub-format lives past the base fmt
+      // body; a truncated buffer whose fmt chunk *claims* sz>=40 must not
+      // be read past `len`.
+      if (fmt == 0xFFFE && sz >= 40 && p + 8 + 26 <= len) {
         uint16_t sub;
         std::memcpy(&sub, buf + p + 8 + 24, 2);
         fmt = sub;

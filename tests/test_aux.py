@@ -50,6 +50,27 @@ def test_process_audio_bytes_roundtrip():
     assert abs(float(np.std(out)) - 1 / 8) < 0.02   # z-score / 8
 
 
+def test_process_audio_bytes_mic_contract():
+    """The streamlit_mic_recorder component hands the app WAV bytes
+    (ref:app.py:121-139 contract: audio["bytes"], format="wav") — they
+    must flow through process_audio_bytes unchanged-in-kind: 44.1 kHz
+    stereo int16 in, normalized 16 kHz mono f32 out."""
+    import io
+    from scipy.io import wavfile
+    from crisperwhisper_tpu.app import process_audio_bytes
+    sr = 44100
+    t = np.arange(sr // 2) / sr
+    tone = (0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    stereo = np.stack([tone, tone * 0.5], axis=1)
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, (stereo * 32767).astype(np.int16))
+    mic_payload = {"bytes": buf.getvalue(), "sample_rate": sr}  # component shape
+    out = process_audio_bytes(mic_payload["bytes"], target_sr=16000)
+    assert out.dtype == np.float32 and out.ndim == 1
+    assert abs(out.shape[0] - 8000) <= 2
+    assert abs(float(np.std(out)) - 1 / 8) < 0.02
+
+
 def test_resample_identity_and_ratio():
     from crisperwhisper_tpu.audio.io import resample
     x = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
