@@ -144,15 +144,20 @@ class EnglishTextNormalizer:
 
         s = re.sub(r"(\d),(\d)", r"\1\2", s)      # remove commas in numbers
         s = re.sub(r"\.([^0-9]|$)", r" \1", s)    # periods not in numbers
+        # symbols go BEFORE number standardization (so e.g. "o'clock" ->
+        # "o clock" -> "0 clock"), keeping the numeric currency symbols
+        s = remove_symbols_and_diacritics(s, keep=".%$¢€£")
         if self.standardize_numbers is not None:
             s = self.standardize_numbers(s)
-        s = remove_symbols_and_diacritics(s, keep=".%$¢€£")
+        # spelling map is a word-level lookup, not regex
+        if self.standardize_spellings:
+            s = " ".join(self.standardize_spellings.get(w, w)
+                         for w in s.split())
 
+        # drop prefix/suffix symbols not attached to digits
         s = re.sub(r"[.$¢€£]([^0-9])", r" \1", s)
         s = re.sub(r"([^0-9])%", r"\1 ", s)
 
-        for british, american in self.standardize_spellings.items():
-            s = re.sub(rf"\b{re.escape(british)}\b", american, s)
-
-        s = re.sub(r"\s+", " ", s)
-        return s.strip()
+        # NOTE: like the reference (:595-597), collapse whitespace runs
+        # but do not strip
+        return re.sub(r"\s+", " ", s)
