@@ -4,7 +4,11 @@ Our conditioned prompt is a STATIC (max_target//2)-slot left-padded window
 — the reference's padding='max_length' static-cache mode
 (hf _prepare_decoder_input_ids :1913-1921). The dynamic 'longest' mode
 shifts real tokens to different positions (learned positional embeddings),
-so parity is against HF configured with cache_implementation='static'.
+so parity is against HF's static semantics. Decoder-level output parity
+(token streams, masked pads) is pinned in
+tests/test_beam_fallback_e2e.py::test_condition_on_prev_decoder_stream_parity,
+which also documents why HF's END-TO-END static output is not a valid
+golden (its kwargs filtering drops the decoder pad mask).
 """
 
 import numpy as np
