@@ -166,6 +166,10 @@ class GenerationOptions:
     time_precision: float = 0.02
     prompt_seed: int = 0
     kv_cache_int8: bool = False     # int8 cross-KV cache (serving)
+    kv_cache_int4: bool = False     # int4 cross-KV (halves the decode
+    #                                 loop's dominant HBM read; wins over
+    #                                 int8 when the batch is large enough
+    #                                 to be bandwidth-bound)
 
 
 @dataclass(frozen=True)

@@ -32,7 +32,15 @@ from .generate import build_prompt
 from .segments import pad_segments_to_max_length, retrieve_segment
 
 INPUT_STRIDE = 2                      # conv stem downsample (SURVEY.md §2.3)
+
+
 TIME_PRECISION_FEATURES = 0.01        # seconds per mel frame
+
+
+def _kv_dtype(opts: GenerationOptions):
+    if opts.kv_cache_int4:
+        return jnp.int4
+    return jnp.int8 if opts.kv_cache_int8 else None
 
 
 @dataclass
@@ -65,7 +73,7 @@ def _decode_window(params, arch, specials, opts, segment_features,
             return_timestamps=opts.return_timestamps,
             prompt_mask=(jnp.asarray(prompt_mask)
                          if prompt_mask is not None else None),
-            cross_cache_dtype=(jnp.int8 if opts.kv_cache_int8 else None),
+            cross_cache_dtype=_kv_dtype(opts),
             sot_position=sot_position)
         score = np.asarray(res.sequences_scores)
         is_normalized = True
@@ -78,7 +86,7 @@ def _decode_window(params, arch, specials, opts, segment_features,
             temperature=temperature, rng=rng,
             prompt_mask=(jnp.asarray(prompt_mask)
                          if prompt_mask is not None else None),
-            cross_cache_dtype=(jnp.int8 if opts.kv_cache_int8 else None),
+            cross_cache_dtype=_kv_dtype(opts),
             sot_position=sot_position)
         score = np.asarray(res.sum_logprobs)
         is_normalized = False

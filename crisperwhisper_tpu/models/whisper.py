@@ -239,13 +239,20 @@ class DecoderCache(NamedTuple):
     cross_v_scale: jax.Array | None = None
 
 
+def _quantize(x: jax.Array, axis: int, qmax: float, dtype: jnp.dtype
+              ) -> tuple[jax.Array, jax.Array]:
+    """Symmetric integer quantization over `axis`:
+    returns (q, scale with axis kept=1)."""
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / qmax
+    q = jnp.clip(jnp.round(x / scale), -qmax, qmax).astype(dtype)
+    return q, scale.astype(jnp.bfloat16)
+
+
 def _quantize_int8(x: jax.Array, axis: int = -1
                    ) -> tuple[jax.Array, jax.Array]:
     """Symmetric int8 over `axis`: returns (q, scale with axis kept=1)."""
-    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
-    return q, scale.astype(jnp.bfloat16)
+    return _quantize(x, axis, 127.0, jnp.int8)
 
 
 def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
@@ -253,7 +260,10 @@ def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
                cross_dtype: jnp.dtype | None = None,
                cache_len: int | None = None,
                self_batch: int | None = None) -> DecoderCache:
-    """cross_dtype=jnp.int8 enables the quantized cross cache.
+    """cross_dtype=jnp.int8 / jnp.int4 enables the quantized cross cache
+    (int4 halves the decode loop's dominant HBM read; s4 arrays must stay
+    inside one jitted program on this backend — they do: the cache never
+    crosses the decode program's boundary).
     cache_len sizes the self-attention ring (default max_target_positions;
     decode is HBM-bound, so allocating only prompt+max_new saves traffic).
     self_batch sizes the self ring's batch independently of the encoder
@@ -265,7 +275,8 @@ def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
     dh = arch.head_dim
     dtype = dtype or encoder_out.dtype
     cache_len = cache_len or arch.max_target_positions
-    quantize = cross_dtype == jnp.int8
+    quantize = cross_dtype in (jnp.int8, jnp.int4)
+    qmax = 7.0 if cross_dtype == jnp.int4 else 127.0
 
     def per_layer_cross(lp):
         # [B, H, Dh, K]; per-layer quantization here keeps the full-stack
@@ -275,8 +286,8 @@ def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
         v = jnp.swapaxes(_split_heads(dense(encoder_out, lp["cross"]["v"]),
                                       h), -1, -2)
         if quantize:
-            kq, ks = _quantize_int8(k.astype(jnp.float32), axis=-2)
-            vq, vs = _quantize_int8(v.astype(jnp.float32), axis=-2)
+            kq, ks = _quantize(k.astype(jnp.float32), -2, qmax, cross_dtype)
+            vq, vs = _quantize(v.astype(jnp.float32), -2, qmax, cross_dtype)
             return kq, ks, vq, vs
         return k.astype(dtype), v.astype(dtype)
 

@@ -1,7 +1,6 @@
 from .alignment import (attention_to_jump_times, dtw_jump_times, dtw_trace,
                         median_filter, znorm_tokens)
-from .decode_attention import dequant_reference
-from .decode_attention_v2 import cross_attention_int8_v2
+from .int8_reference import dequant_reference
 # NOTE: the fused_attention FUNCTION is deliberately not re-exported here —
 # it would shadow the `ops.fused_attention` submodule on the package
 # (import-as resolves attributes first); use
@@ -11,5 +10,5 @@ from .pallas_dtw import pallas_dtw_jump_times
 
 __all__ = ["attention_to_jump_times", "dtw_jump_times", "dtw_trace",
            "median_filter", "znorm_tokens", "dequant_reference",
-           "cross_attention_int8_v2", "supports_pallas",
+           "supports_pallas",
            "pallas_dtw_jump_times"]

@@ -11,20 +11,25 @@ Same recurrence and tie-breaking as the reference DP
 ops/alignment.dtw_jump_times (rows/cols beyond the true lengths carry a
 large cost; backtrace starts at (n_tokens, n_frames)).
 
-Layout trick: the matrix is pre-sheared on the XLA side (row i shifted
-right by i), so anti-diagonal d of the DP is one contiguous COLUMN —
-dynamic column slices are cheap on TPU, per-element gathers are not. The
-trace is stored sheared the same way and read back with scalar indices in
-the backtrace.
+Layout (round-2 restructuring that made the kernel Mosaic-compilable):
+the matrix is pre-sheared on the XLA side (row i shifted right by i) and
+stored DIAGONAL-MAJOR — [N+M, N], one DP anti-diagonal per ROW — so the
+per-diagonal access is a dynamic SUBLANE index, which Mosaic lowers
+natively. The round-1 column-major form needed dynamic LANE slices
+("index in dimension 2 must be a multiple of 128") and could only run
+under the interpreter. The trace is stored the same way and the
+backtrace extracts its scalars with masked lane reductions instead of
+scalar dynamic loads.
 
-STATUS: correctness-validated (exact match vs ops/alignment.dtw_jump_times
-and the reference DP) under the Pallas interpreter; the Mosaic-compiled
-path currently fails lane-alignment legalization ("index in dimension 2
-must be a multiple of 128" — single-column dynamic VMEM access). The
-production DTW path is the anti-diagonal `lax.scan` in ops/alignment.py,
-which is already fully on-device; this kernel removes its remaining
-HBM round-trips once the column access is restructured as 128-wide block
-loads + lane rotation (pltpu.roll). Tracked for a future round.
+STATUS (round-2 measurement, v5e, B=64 N=127 M=1500): compiles, EXACT
+match vs ops/alignment.dtw_jump_times on every row; 69.0 ms vs the
+vmapped lax.scan DP's 65.6 ms. The scan DP stays the production path:
+it amortizes the diagonal sweep across all B batch lanes, while this
+kernel's one-item-per-grid-program design walks items sequentially and
+its [1, N] vectors leave the VPU mostly idle — per-item latency (~1 ms)
+is what a single-stream/low-latency deployment would use it for. Kept
+as a compiled, tested alternative (tests/test_pallas_kernels.py runs it
+on TPU, skipped on CPU).
 """
 
 from __future__ import annotations
@@ -40,23 +45,25 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = 3.0e38  # python scalar: pallas kernels must not capture traced constants
 
 
-def _shear(matrix: jax.Array) -> jax.Array:
-    """[B, N, M] -> [B, N, N+M]: row i shifted right by i, inf elsewhere."""
+def _shear_diag_major(matrix: jax.Array) -> jax.Array:
+    """[B, N, M] -> [B, N+M, N]: row d holds DP anti-diagonal d+2's matrix
+    values m[i-1, d-i-1] at slot i-1 (inf outside)."""
     b, n, m = matrix.shape
     pad = jnp.full((b, n, n), _INF, matrix.dtype)
     wide = jnp.concatenate([matrix, pad], axis=2)
     idx = (np.arange(n + m)[None, :] - np.arange(n)[:, None]) % (n + m)
-    return jnp.take_along_axis(wide, jnp.asarray(idx)[None], axis=2)
+    sheared = jnp.take_along_axis(wide, jnp.asarray(idx)[None], axis=2)
+    return jnp.swapaxes(sheared, 1, 2)
 
 
 def _dtw_kernel(nt_ref, nf_ref, sheared_ref, out_ref,
                 cost_d1, cost_d2, trace):
-    """One batch item. sheared [N, N+M] f32; out [N] int32.
+    """One batch item. sheared [N+M, N] f32 diagonal-major; out [N] int32.
 
     Scratch: cost_d1/cost_d2 [1, N+1] f32 rolling diagonals; trace
-    [N+1, N+M] int32, column d-2 = trace values of DP diagonal d."""
+    [N+M, N+1] int32, row d-2 = trace values of DP diagonal d."""
     n = out_ref.shape[-1]
-    nm = sheared_ref.shape[2]          # N + M
+    nm = sheared_ref.shape[1]          # N + M
     m = nm - n
     item = pl.program_id(0)
     nt = nt_ref[item]
@@ -81,9 +88,9 @@ def _dtw_kernel(nt_ref, nf_ref, sheared_ref, out_ref,
         take1 = (c1 < c0) & (c1 < c2)
         c = jnp.where(take0, c0, jnp.where(take1, c1, c2))
         t = jnp.where(take0, 0, jnp.where(take1, 1, 2)).astype(jnp.int32)
-        # matrix values of this diagonal: sheared column d-2 gives
+        # matrix values of this diagonal: diagonal-major row d-2 gives
         # m[i-1, j-1] at vector slot i-1 -> shift down to align with i
-        col = sheared_ref[0, :, d - 2]                 # [N]
+        col = sheared_ref[0, d - 2, :]                 # [N]
         colp = jnp.concatenate([col, jnp.full((1,), _INF)])[None, :]
         mval = shift_down(colp, _INF)
         j_idx = d - i_idx
@@ -91,21 +98,24 @@ def _dtw_kernel(nt_ref, nf_ref, sheared_ref, out_ref,
         new_cost = jnp.where(valid, mval + c, _INF)
         cost_d2[:] = prev1
         cost_d1[:] = new_cost
-        trace[:, d - 2] = jnp.where(valid, t, 2)[0, :]
+        trace[d - 2, :] = jnp.where(valid, t, 2)[0, :]
         return _
 
     jax.lax.fori_loop(2, n + m + 1, diag_step, 0)
 
     # --- backtrace (boundary rules trace[0,:]=2, trace[:,0]=1 applied
     # logically, reference :96-97). The jump vector rides the loop carry
-    # as a register value — scalar VMEM stores are not lowerable, so each
-    # step rewrites it with a masked where (n lanes, trivial on the VPU).
+    # as a register value; the per-step trace scalar comes from a masked
+    # lane reduction over the diagonal's row (scalar dynamic VMEM loads
+    # do not lower).
     row = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n + 1), 1)
 
     def bt_step(_, state):
         i, j, out_vec = state
         done = (i <= 0) & (j <= 0)
-        t_int = trace[i, jnp.clip(i + j - 2, 0, n + m - 1)]
+        trow = trace[jnp.clip(i + j - 2, 0, nm - 1), :][None, :]
+        t_int = jnp.max(jnp.where(lane == i, trow, 0))
         t = jnp.where(i == 0, 2, jnp.where(j == 0, 1, t_int))
         write = jnp.logical_and(~done, i >= 1)
         out_vec = jnp.where(write & (row == i - 1), j - 1, out_vec)
@@ -130,7 +140,7 @@ def pallas_dtw_jump_times(matrix: jax.Array, n_tokens: jax.Array,
     """Batched DTW: matrix [B, N, M] f32 (masked cost), n_tokens/n_frames
     [B] -> [B, N] int32 first-arrival frame index per token row."""
     b, n, m = matrix.shape
-    sheared = _shear(matrix.astype(jnp.float32))
+    sheared = _shear_diag_major(matrix.astype(jnp.float32))
     return pl.pallas_call(
         _dtw_kernel,
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
@@ -138,7 +148,7 @@ def pallas_dtw_jump_times(matrix: jax.Array, n_tokens: jax.Array,
         in_specs=[
             pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n, n + m), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n + m, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         # whole-array output block revisited by every (sequential) grid
@@ -149,7 +159,7 @@ def pallas_dtw_jump_times(matrix: jax.Array, n_tokens: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((1, n + 1), jnp.float32),
             pltpu.VMEM((1, n + 1), jnp.float32),
-            pltpu.VMEM((n + 1, n + m), jnp.int32),
+            pltpu.VMEM((n + m, n + 1), jnp.int32),
         ],
         interpret=interpret,
     )(n_tokens.astype(jnp.int32), n_frames.astype(jnp.int32), sheared)

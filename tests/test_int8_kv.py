@@ -22,6 +22,23 @@ def test_quantize_roundtrip_error():
     assert (err <= amax / 127.0 + 1e-6).all()
 
 
+def test_int4_decode_token_agreement():
+    """int4 cross cache (the large-batch serving option): coarser than
+    int8 but must still overwhelmingly agree on greedy tokens."""
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    mel = rand_mel(batch=4, seed=9)
+    enc = encode(params, arch, jnp.asarray(mel))
+    prompt = jnp.full((4, 1), TINY_SPECIALS.sot, jnp.int32)
+    opts = GenerationOptions(max_initial_timestamp_index=50)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            16)
+    got = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            16, cross_cache_dtype=jnp.int4)
+    agree = (np.asarray(ref.sequences) == np.asarray(got.sequences)).mean()
+    assert agree >= 0.75, agree
+
+
 def test_int8_decode_token_agreement():
     """Greedy tokens with the int8 cross cache should overwhelmingly agree
     with bf16/f32 on the tiny model (small logit perturbation)."""

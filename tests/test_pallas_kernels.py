@@ -30,6 +30,24 @@ def test_pallas_dtw_matches_scan_dtw():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_pallas_dtw_compiled_on_tpu():
+    """The Mosaic-COMPILED DTW kernel (diagonal-major layout, round 2)
+    must match the scan DP exactly on real TPU. Skipped on CPU — the
+    compiled path is the thing under test (VERDICT r1 item 6)."""
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        pytest.skip("requires a real TPU backend (Mosaic lowering)")
+    from crisperwhisper_tpu.ops.alignment import dtw_jump_times
+    from crisperwhisper_tpu.ops.pallas_dtw import pallas_dtw_jump_times
+    rng = np.random.default_rng(7)
+    b, n, m = 8, 63, 300
+    mat = jnp.asarray(-rng.random((b, n, m)).astype(np.float32))
+    nt = jnp.asarray(rng.integers(5, n, (b,)), jnp.int32)
+    nf = jnp.asarray(rng.integers(50, m, (b,)), jnp.int32)
+    ref = np.asarray(jax.jit(jax.vmap(dtw_jump_times))(mat, nt, nf))
+    got = np.asarray(pallas_dtw_jump_times(mat, nt, nf))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_fused_attention_interpret_matches_eager():
     from crisperwhisper_tpu.models.whisper import attention
     import crisperwhisper_tpu.ops.fused_attention as fa
@@ -93,7 +111,7 @@ def test_int8_decode_attention_reference_close_to_fp():
     """Folded-scale int8 attention (the XLA serving path) vs full-precision
     attention: outputs within quantization tolerance."""
     from crisperwhisper_tpu.models.whisper import attention, _quantize_int8
-    from crisperwhisper_tpu.ops.decode_attention import dequant_reference
+    from crisperwhisper_tpu.ops.int8_reference import dequant_reference
     rng = np.random.default_rng(2)
     q = jnp.asarray(rng.standard_normal((2, 4, 1, 64)).astype(np.float32)) * 0.3
     k = jnp.asarray(rng.standard_normal((2, 4, 200, 64)).astype(np.float32))
