@@ -22,7 +22,8 @@ vs_baseline = RTFx / 200 (driver target: >=200x per v5e chip,
 BASELINE.json:5).
 
 Env knobs: BENCH_BATCH, BENCH_TOKEN_ROWS ("128,192,256"), BENCH_ITERS,
-BENCH_KV ("int8"|"int4"|"bf16"), BENCH_W_INT8 ("1"|"0").
+BENCH_KV ("int8"|"int4"|"bf16"), BENCH_SELF_KV ("int8"|"int4"|"bf16"),
+BENCH_W_INT8 ("1"|"0").
 """
 
 import json
@@ -54,6 +55,7 @@ HEADLINE_TOKENS = 192
 ITERS = int(os.environ.get("BENCH_ITERS", "4"))
 N_ALIGN_HEADS = 15     # CrisperWhisper fine-tunes 15 heads (README:295)
 KV = os.environ.get("BENCH_KV", "int4")
+SELF_KV = os.environ.get("BENCH_SELF_KV", "int8")
 W_INT8 = os.environ.get("BENCH_W_INT8", "1") == "1"
 CHUNK_STRIDE_S = 5.0   # pipeline overlap stride each side (chunk/6)
 
@@ -67,6 +69,8 @@ def main():
     feat_cfg = FeatureConfig(feature_size=arch.num_mel_bins)
     kv_dtype = ({"int8": jnp.int8, "int4": jnp.int4}.get(KV)
                 if on_tpu else None)
+    self_kv_dtype = ({"int8": jnp.int8, "int4": jnp.int4}.get(SELF_KV)
+                     if on_tpu else None)
 
     params = init_params(arch, jax.random.PRNGKey(0), dtype=dtype)
     if W_INT8 and on_tpu:
@@ -99,7 +103,7 @@ def main():
             params, arch, sp, opts, enc, prompt, n_tokens,
             suppress_mask=suppress, align_sel=align_sel,
             align_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-            cross_cache_dtype=kv_dtype)
+            cross_cache_dtype=kv_dtype, self_cache_dtype=self_kv_dtype)
         jumps = attention_to_jump_times(
             res.align_probs.astype(jnp.float32), 7,
             jnp.maximum(res.num_generated - 1, 0),
@@ -147,6 +151,7 @@ def main():
         audio_seconds = BATCH * feat_cfg.chunk_length
         rtfx_device = audio_seconds / device_s
         row = {"tokens_per_chunk": n_tokens, "batch": BATCH, "kv": KV,
+               "self_kv": SELF_KV or "bf16",
                "rtfx_device": round(rtfx_device, 1)}
 
         if n_tokens == HEADLINE_TOKENS or n_tokens == max(TOKEN_ROWS):
@@ -169,7 +174,8 @@ def main():
     print(json.dumps({
         "metric": f"RTFx {('large-v3' if on_tpu else 'tiny-cpu')} e2e "
                   f"30s-chunk pipeline (mel+enc+{HEADLINE_TOKENS}tok-decode"
-                  f"+DTW+host stitch/words), batch={BATCH}, kv={KV}",
+                  f"+DTW+host stitch/words), batch={BATCH}, kv={KV}, "
+                  f"self_kv={SELF_KV or 'bf16'}",
         "value": round(headline, 2),
         "unit": "x realtime per chip",
         "vs_baseline": round(headline / 200.0, 3),

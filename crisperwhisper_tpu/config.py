@@ -170,6 +170,10 @@ class GenerationOptions:
     #                                 loop's dominant HBM read; wins over
     #                                 int8 when the batch is large enough
     #                                 to be bandwidth-bound)
+    self_kv_cache_int8: bool = False  # int8 SELF ring (columns quantized
+    #                                   as written; per-position scales
+    #                                   folded outside the dots)
+    self_kv_cache_int4: bool = False
 
 
 @dataclass(frozen=True)

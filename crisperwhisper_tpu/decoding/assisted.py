@@ -1,0 +1,234 @@
+"""Assisted (speculative) decoding: draft model proposes, main verifies.
+
+The reference ships WhisperForCausalLM explicitly as the assistant model
+for assisted generation (hf modeling_whisper.py:1359, used via
+`model.generate(assistant_model=...)`, generation/utils.py candidate
+generators) — the consumer the round-1 review flagged as missing. This is
+the TPU-native rebuild: both the draft chain and the verification forward
+run inside ONE `lax.while_loop` program; the verify pass is a
+`decode_step_multi` block, so the main model's cross-KV cache — the
+dominant HBM read of autoregressive decode — is read ONCE per window of
+`spec_len` tokens instead of once per token. With an accepting draft
+(e.g. a distil-Whisper decoder sharing the encoder), decode bandwidth
+per committed token drops by ~the mean accepted-window length.
+
+Exactness contract (tested): for ANY draft, greedy assisted output ==
+greedy_decode output (sequences, logprobs, alignment rows, no-speech).
+Like the reference (generation/utils.py assisted path), batch_size == 1
+and greedy only.
+
+Draft model requirements: any Whisper decoder (same tokenizer); it runs
+against its own encoder output (same audio, its own geometry — pass
+`draft_encoder_out`). `spec_len` is the static speculation window.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GenerationOptions, SpecialTokens, WhisperArch
+from ..models.whisper import decode_step, decode_step_multi, init_cache
+from .greedy import DecodeResult
+from .processors import TimestampState, process_scores
+
+
+def assisted_decode(params: Any, arch: WhisperArch,
+                    draft_params: Any, draft_arch: WhisperArch,
+                    specials: SpecialTokens, opts: GenerationOptions,
+                    encoder_out: jax.Array, draft_encoder_out: jax.Array,
+                    prompt: jax.Array, *,
+                    max_new_tokens: int,
+                    spec_len: int = 4,
+                    suppress_mask: jax.Array | None = None,
+                    begin_suppress_mask: jax.Array | None = None,
+                    align_sel: jax.Array | None = None,
+                    return_timestamps: bool = True,
+                    align_dtype: jnp.dtype = jnp.float32,
+                    cross_cache_dtype: jnp.dtype | None = None,
+                    self_cache_dtype: jnp.dtype | None = None,
+                    sot_position: int = 0) -> DecodeResult:
+    b, p = prompt.shape
+    if b != 1:
+        raise ValueError("assisted decoding requires batch_size == 1 "
+                         "(matching the reference's assisted generation)")
+    s = spec_len
+    k_frames = encoder_out.shape[1]
+    t_total = p + max_new_tokens
+    if t_total > arch.max_target_positions:
+        raise ValueError("prompt + max_new exceeds max_target_positions")
+    n_align = align_sel.shape[-1] if align_sel is not None else 1
+    eot = specials.eot
+    ts_begin = specials.timestamp_begin
+
+    # caches sized with spec overshoot room (verify writes past the last
+    # committed token; those columns are masked and later overwritten)
+    cache = init_cache(params, arch, encoder_out,
+                       cross_dtype=cross_cache_dtype,
+                       cache_len=t_total + s, self_dtype=self_cache_dtype)
+    draft_cache = init_cache(draft_params, draft_arch, draft_encoder_out,
+                             cache_len=t_total + s)
+
+    prompt = prompt.astype(jnp.int32)
+    no_speech0 = jnp.zeros((b,), jnp.float32)
+    if p > 1:
+        pre_logits, cache, _ = decode_step_multi(
+            params, arch, prompt[:, :p - 1], jnp.int32(0), cache,
+            align_dtype=align_dtype)
+        _, draft_cache, _ = decode_step_multi(
+            draft_params, draft_arch, prompt[:, :p - 1], jnp.int32(0),
+            draft_cache)
+        if sot_position <= p - 2:          # static here (no traced callers)
+            lg = pre_logits[:, sot_position]
+            no_speech0 = jnp.exp(lg[:, specials.no_speech]
+                                 - jax.nn.logsumexp(lg, axis=-1))
+
+    # token buffer with overshoot tail; align buffer with ONE leading junk
+    # slot so the first verify block's prompt row has a writable target
+    tokens0 = jnp.concatenate(
+        [prompt, jnp.full((b, max_new_tokens + s), eot, jnp.int32)], axis=1)
+    align_buf0 = jnp.zeros((b, n_align, 1 + max_new_tokens + s, k_frames),
+                           align_dtype)
+
+    def proc(logits, state):
+        return process_scores(logits, state, specials, opts, suppress_mask,
+                              begin_suppress_mask, return_timestamps)
+
+    def cond(c):
+        (tokens, length, state, finished, *_rest) = c
+        return (length < t_total) & ~jnp.all(finished)
+
+    def body(c):
+        (tokens, length, state, finished, sum_lp, no_speech, align_buf,
+         self_k, self_v, self_ks, self_vs, d_self_k, d_self_v) = c
+        mcache = cache._replace(self_k=self_k, self_v=self_v,
+                                self_k_scale=self_ks, self_v_scale=self_vs)
+        dcache = draft_cache._replace(self_k=d_self_k, self_v=d_self_v)
+
+        # ---- draft chain: propose d_1..d_s greedily with the grammar ----
+        def draft_body(carry, i):
+            dc_k, dc_v, dstate, tok = carry
+            dc = draft_cache._replace(self_k=dc_k, self_v=dc_v)
+            lgt, dc, _ = decode_step(draft_params, draft_arch, tok,
+                                     length - 1 + i, dc)
+            nxt = jnp.argmax(proc(lgt, dstate), axis=-1).astype(jnp.int32)
+            return (dc.self_k, dc.self_v, dstate.update(nxt, ts_begin),
+                    nxt), nxt
+
+        feed0 = jax.lax.dynamic_index_in_dim(tokens, length - 1, 1,
+                                             keepdims=False)
+        (d_self_k, d_self_v, _, _), drafts = jax.lax.scan(
+            draft_body, (dcache.self_k, dcache.self_v, state, feed0),
+            jnp.arange(s))
+        drafts = drafts[:, 0]                          # [S] (batch == 1)
+
+        # ---- verify: ONE multi-token step over [tok[L-1], d_1..d_{S-1}] --
+        block = jnp.concatenate([feed0[:, None], drafts[None, :s - 1]],
+                                axis=1) if s > 1 else feed0[:, None]
+        logits, mcache, align = decode_step_multi(
+            params, arch, block, length - 1, mcache, align_sel=align_sel,
+            align_dtype=align_dtype)        # [1, S, V], [1, A, S, K]
+
+        # ---- sequential accept over the block ----
+        def ver_body(carry, i):
+            vstate, alive, fin, lp_acc, ns = carry
+            lg = logits[:, i]
+            scores = proc(lg, vstate)
+            tgt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            commit = alive & ~fin & (length + i < t_total)
+            lp = (jnp.take_along_axis(scores, tgt[:, None], axis=-1)[:, 0]
+                  - jax.nn.logsumexp(scores, axis=-1))
+            lp_acc = lp_acc + jnp.where(commit, lp, 0.0)
+            ns = jnp.where((length - 1 + i) == sot_position,
+                           jnp.exp(lg[:, specials.no_speech]
+                                   - jax.nn.logsumexp(lg, axis=-1)), ns)
+            new_state = vstate.update(tgt, ts_begin)
+            vstate = jax.tree.map(
+                lambda new, old: jnp.where(commit, new, old),
+                new_state, vstate)
+            fin = fin | (commit & (tgt == eot))
+            # chain survives to row i+1 iff row i's target equals row
+            # i+1's input, which is draft d_{i+1} = drafts[i]
+            alive = commit & (tgt == drafts[i]) & (i + 1 < s)
+            return (vstate, alive, fin, lp_acc, ns), (tgt, commit)
+
+        (state, _, finished, sum_lp, no_speech), (tgts, commits) = (
+            jax.lax.scan(ver_body,
+                         (state, jnp.ones((b,), bool), finished, sum_lp,
+                          no_speech),
+                         jnp.arange(s)))
+        tgts = tgts[:, 0]                              # [S]
+        commits = commits[:, 0]                        # [S]
+        n_new = jnp.sum(commits.astype(jnp.int32))
+
+        # ---- commit tokens (uncommitted slots hold eot; overwritten by a
+        # later window) ----
+        block_new = jnp.where(commits, tgts, eot)
+        tokens = jax.lax.dynamic_update_slice(tokens, block_new[None],
+                                              (0, length))
+
+        # ---- record alignment rows for committed input queries ----
+        # row i is the query at input position length-1+i; its input token
+        # is committed exactly when commits[i] (the chain reached row i),
+        # and it must be a generated token (>= p).
+        # slot = (length-1+i) - p + 1 (one leading junk slot).
+        row_pos = length - 1 + jnp.arange(s)
+        row_committed = commits & (row_pos >= p)
+        base = length - p                              # slot of row 0 (+1-1)
+        old = jax.lax.dynamic_slice(align_buf, (0, 0, base, 0),
+                                    (b, n_align, s, k_frames))
+        merged = jnp.where(row_committed[None, None, :, None],
+                           align.astype(align_buf.dtype), old)
+        align_buf = jax.lax.dynamic_update_slice(align_buf, merged,
+                                                 (0, 0, base, 0))
+
+        return (tokens, length + n_new, state, finished, sum_lp, no_speech,
+                align_buf, mcache.self_k, mcache.self_v,
+                mcache.self_k_scale, mcache.self_v_scale,
+                d_self_k, d_self_v)
+
+    init = (tokens0, jnp.int32(p), TimestampState.init(b),
+            jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32), no_speech0,
+            align_buf0, cache.self_k, cache.self_v, cache.self_k_scale,
+            cache.self_v_scale, draft_cache.self_k, draft_cache.self_v)
+    (tokens, length, state, finished, sum_lp, no_speech, align_buf,
+     *_rest) = jax.lax.while_loop(cond, body, init)
+
+    return DecodeResult(
+        sequences=tokens[:, :t_total],
+        num_generated=state.num_generated,
+        sum_logprobs=sum_lp,
+        no_speech_probs=no_speech,
+        align_probs=align_buf[:, :, 1:1 + max_new_tokens, :],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("arch", "draft_arch", "specials", "opts",
+                     "max_new_tokens", "spec_len", "return_timestamps",
+                     "align_dtype", "cross_cache_dtype", "self_cache_dtype",
+                     "sot_position"))
+def assisted_decode_jit(params, arch, draft_params, draft_arch, specials,
+                        opts, encoder_out, draft_encoder_out, prompt,
+                        max_new_tokens: int, spec_len: int = 4,
+                        suppress_mask=None, begin_suppress_mask=None,
+                        align_sel=None, return_timestamps: bool = True,
+                        align_dtype: jnp.dtype = jnp.float32,
+                        cross_cache_dtype: jnp.dtype | None = None,
+                        self_cache_dtype: jnp.dtype | None = None,
+                        sot_position: int = 0) -> DecodeResult:
+    return assisted_decode(params, arch, draft_params, draft_arch, specials,
+                           opts, encoder_out, draft_encoder_out, prompt,
+                           max_new_tokens=max_new_tokens, spec_len=spec_len,
+                           suppress_mask=suppress_mask,
+                           begin_suppress_mask=begin_suppress_mask,
+                           align_sel=align_sel,
+                           return_timestamps=return_timestamps,
+                           align_dtype=align_dtype,
+                           cross_cache_dtype=cross_cache_dtype,
+                           self_cache_dtype=self_cache_dtype,
+                           sot_position=sot_position)

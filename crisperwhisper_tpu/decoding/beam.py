@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GenerationOptions, SpecialTokens, WhisperArch
-from ..models.whisper import decode_step, init_cache
+from ..models.whisper import decode_step, decode_step_multi, init_cache
 from .processors import TimestampState, process_scores
 
 NEG_INF = jnp.float32(-1e9)
@@ -99,9 +99,44 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     beam_scores0 = jnp.where(jnp.arange(nb)[None, :] == 0, 0.0, NEG_INF
                              ) * jnp.ones((b, 1))
 
+    # block prefill at batch B (beams share the identical prompt): ONE
+    # multi-token step, then the per-item self-ring columns are repeated
+    # per beam — NB x cheaper than feeding the prompt beam-wise, and P-1
+    # fewer serial steps (see greedy.py prefill note).
+    self_k0, self_v0 = cache.self_k, cache.self_v
+    no_speech0 = jnp.zeros((b,), jnp.float32)
+    t_start = 0
+    if p > 1:
+        pre_cache = cache._replace(
+            self_k=jnp.zeros((arch.decoder_layers, b,
+                              arch.decoder_attention_heads, arch.head_dim,
+                              t_total), cache.self_k.dtype),
+            self_v=jnp.zeros((arch.decoder_layers, b,
+                              arch.decoder_attention_heads, arch.head_dim,
+                              t_total), cache.self_v.dtype))
+        pre_key_mask = None
+        if prompt_mask is not None:
+            pre_key_mask = jnp.concatenate(
+                [jnp.asarray(prompt_mask, bool),
+                 jnp.ones((b, max_new_tokens), bool)], axis=1)
+        pre_logits, pre_cache, _ = decode_step_multi(
+            params, arch, prompt.astype(jnp.int32)[:, :p - 1], jnp.int32(0),
+            pre_cache, key_mask=pre_key_mask, align_dtype=align_dtype)
+        self_k0 = jnp.repeat(pre_cache.self_k, nb, axis=1)
+        self_v0 = jnp.repeat(pre_cache.self_v, nb, axis=1)
+        sp_idx = jnp.clip(jnp.asarray(sot_position, jnp.int32), 0, p - 2)
+        lg = jax.lax.dynamic_index_in_dim(pre_logits, sp_idx, 1,
+                                          keepdims=False)
+        no_speech0 = jnp.where(
+            jnp.asarray(sot_position) <= p - 2,
+            jnp.exp(lg[:, specials.no_speech]
+                    - jax.nn.logsumexp(lg, axis=-1)),
+            0.0)
+        t_start = p - 1
+
     carry = _Carry(
-        t=jnp.int32(0), tokens=tokens0,
-        self_k=cache.self_k, self_v=cache.self_v,
+        t=jnp.int32(t_start), tokens=tokens0,
+        self_k=self_k0, self_v=self_v0,
         state=TimestampState.init(flat),
         beam_scores=beam_scores0,
         fin_tokens=jnp.full((b, nb, t_total), eot, jnp.int32),
@@ -110,7 +145,7 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
         fin_count=jnp.zeros((b,), jnp.int32),
         fin_align=jnp.zeros((b, nb, n_align, max_new_tokens, k_frames),
                             align_dtype),
-        no_speech=jnp.zeros((b,), jnp.float32),
+        no_speech=no_speech0,
         align_buf=jnp.zeros((b, nb, n_align, max_new_tokens, k_frames),
                             align_dtype),
         done=jnp.zeros((b,), bool),
@@ -144,12 +179,15 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
             (0, 0, 0, slot, 0))
 
         # no-speech prob from RAW logits AT THE SOT POSITION (see
-        # greedy.py — logits_process.py:2099-2105 semantics)
-        raw_probs = jax.nn.softmax(logits, axis=-1)     # [flat, V]
-        no_speech = jnp.where(
+        # greedy.py — logits_process.py:2099-2105 semantics); lax.cond +
+        # single-column softmax so the [flat, V] softmax runs on ONE step
+        no_speech = jax.lax.cond(
             c.t == sot_position,
-            raw_probs.reshape(b, nb, -1)[:, 0, specials.no_speech],
-            c.no_speech)
+            lambda lg: jnp.exp(
+                lg[:, specials.no_speech]
+                - jax.nn.logsumexp(lg, axis=-1)).reshape(b, nb)[:, 0],
+            lambda lg: c.no_speech,
+            logits)
 
         # hf _beam_search order (generation/utils.py:3113): log_softmax the
         # raw logits FIRST, then run the processor stack on the logprobs and

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GenerationOptions, SpecialTokens, WhisperArch
-from ..models.whisper import DecoderCache, decode_step, init_cache
+from ..models.whisper import (DecoderCache, decode_step, decode_step_multi,
+                              init_cache)
 from .processors import TimestampState, process_scores
 
 
@@ -49,7 +50,9 @@ class _Carry(NamedTuple):
     tokens: jax.Array                 # [B, T_total]
     self_k: jax.Array                 # mutable cache halves only — the
     self_v: jax.Array                 # loop-invariant cross K/V stays a
-    state: TimestampState             # closure constant (no carry copies)
+    self_ks: jax.Array | None         # closure constant (no carry copies);
+    self_vs: jax.Array | None         # _ks/_vs ride along iff self ring
+    state: TimestampState             # is quantized (else None)
     finished: jax.Array               # [B] bool
     sum_logprobs: jax.Array           # [B] f32
     no_speech: jax.Array              # [B] f32
@@ -69,6 +72,7 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                   rng: jax.Array | None = None,
                   align_dtype: jnp.dtype = jnp.float32,
                   cross_cache_dtype: jnp.dtype | None = None,
+                  self_cache_dtype: jnp.dtype | None = None,
                   prompt_mask: jax.Array | None = None,
                   sot_position: int = 0) -> DecodeResult:
     """Decode a batch against precomputed encoder states.
@@ -91,7 +95,8 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     eot = specials.eot
 
     cache = init_cache(params, arch, encoder_out,
-                       cross_dtype=cross_cache_dtype, cache_len=t_total)
+                       cross_dtype=cross_cache_dtype, cache_len=t_total,
+                       self_dtype=self_cache_dtype)
     key_mask = None
     if prompt_mask is not None:
         key_mask = jnp.concatenate(
@@ -101,15 +106,41 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
         [prompt.astype(jnp.int32),
          jnp.full((b, max_new_tokens), eot, jnp.int32)], axis=1)
 
+    # block prefill: feed prompt[:, :P-1] through ONE multi-token step
+    # instead of P-1 serial single-token steps (a conditioned prompt is up
+    # to 224 tokens, hf generation_whisper.py:1895). The no-speech capture
+    # happens here when the SOT position falls inside the prefill block.
+    no_speech0 = jnp.zeros((b,), jnp.float32)
+    t_start = 0
+    if p > 1:
+        prefill_logits, cache, _ = decode_step_multi(
+            params, arch, prompt.astype(jnp.int32)[:, :p - 1], jnp.int32(0),
+            cache, key_mask=key_mask, align_dtype=align_dtype)
+        # sot_position may be traced (conditioned prompts pass it per
+        # call): gather its row dynamically and keep zero when the SOT
+        # step falls outside the prefill block (then the loop captures it)
+        sp_idx = jnp.clip(jnp.asarray(sot_position, jnp.int32), 0, p - 2)
+        lg = jax.lax.dynamic_index_in_dim(prefill_logits, sp_idx, 1,
+                                          keepdims=False)
+        in_prefill = jnp.asarray(sot_position) <= p - 2
+        no_speech0 = jnp.where(
+            in_prefill,
+            jnp.exp(lg[:, specials.no_speech]
+                    - jax.nn.logsumexp(lg, axis=-1)),
+            0.0)
+        t_start = p - 1
+
     carry = _Carry(
-        t=jnp.int32(0),
+        t=jnp.int32(t_start),
         tokens=tokens0,
         self_k=cache.self_k,
         self_v=cache.self_v,
+        self_ks=cache.self_k_scale,
+        self_vs=cache.self_v_scale,
         state=TimestampState.init(b),
         finished=jnp.zeros((b,), bool),
         sum_logprobs=jnp.zeros((b,), jnp.float32),
-        no_speech=jnp.zeros((b,), jnp.float32),
+        no_speech=no_speech0,
         align_buf=jnp.zeros((b, n_align, max_new_tokens, k_frames),
                             align_dtype),
         key=rng if rng is not None else jax.random.PRNGKey(0),
@@ -121,11 +152,14 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
 
     def body(c: _Carry) -> _Carry:
         feed = c.tokens[:, c.t]
-        step_cache = cache._replace(self_k=c.self_k, self_v=c.self_v)
+        step_cache = cache._replace(self_k=c.self_k, self_v=c.self_v,
+                                    self_k_scale=c.self_ks,
+                                    self_v_scale=c.self_vs)
         logits, new_cache, align = decode_step(params, arch, feed, c.t,
                                                step_cache,
                                                align_sel=align_sel,
-                                               key_mask=key_mask)
+                                               key_mask=key_mask,
+                                               align_dtype=align_dtype)
         # record alignment rows for generated-query steps (t >= P)
         slot = jnp.maximum(c.t - p, 0)
         record = (c.t >= p) & ~c.finished
@@ -143,28 +177,38 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
         # reference reads logits[:, begin_index - start_of_trans_offset],
         # i.e. the step whose input token is <|startoftranscript|>
         # (logits_process.py:2099-2105) — not the last prompt position.
-        raw_probs = jax.nn.softmax(logits, axis=-1)
-        no_speech = jnp.where(c.t == sot_position,
-                              raw_probs[:, specials.no_speech],
-                              c.no_speech)
+        # lax.cond + single-column softmax (exp(x_ns - logsumexp)) so the
+        # [B, V] softmax is never materialized and runs on ONE step only.
+        no_speech = jax.lax.cond(
+            c.t == sot_position,
+            lambda lg: jnp.exp(lg[:, specials.no_speech]
+                               - jax.nn.logsumexp(lg, axis=-1)),
+            lambda lg: c.no_speech,
+            logits)
 
         scores = process_scores(logits, c.state, specials, opts,
                                 suppress_mask, begin_suppress_mask,
                                 return_timestamps)
         key, subkey = jax.random.split(c.key)
-        greedy_tok = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-        sampled_tok = jax.random.categorical(
-            subkey, scores / jnp.maximum(temperature, 1e-6), axis=-1
-        ).astype(jnp.int32)
-        next_tok = jnp.where(temperature > 0, sampled_tok, greedy_tok)
+        # lax.cond keeps the categorical's per-step [B, V] gumbel draw
+        # (millions of threefry blocks) out of greedy decodes entirely
+        next_tok = jax.lax.cond(
+            temperature > 0,
+            lambda s: jax.random.categorical(
+                subkey, s / jnp.maximum(temperature, 1e-6), axis=-1
+            ).astype(jnp.int32),
+            lambda s: jnp.argmax(s, axis=-1).astype(jnp.int32),
+            scores)
         # forced prompt feed for t < P-1; frozen eot after finish
         next_tok = jnp.where(is_sampling_step, next_tok,
                              c.tokens[:, jnp.minimum(c.t + 1, t_total - 1)])
         next_tok = jnp.where(c.finished, eot, next_tok)
 
-        logprobs = jax.nn.log_softmax(scores, axis=-1)
-        chosen_lp = jnp.take_along_axis(logprobs, next_tok[:, None],
-                                        axis=-1)[:, 0]
+        # log_softmax gather == gather - logsumexp; avoids writing the
+        # full [B, V] logprob tensor every step
+        chosen_lp = (jnp.take_along_axis(scores, next_tok[:, None],
+                                         axis=-1)[:, 0]
+                     - jax.nn.logsumexp(scores, axis=-1))
         active = is_sampling_step & ~c.finished
         sum_logprobs = c.sum_logprobs + jnp.where(active, chosen_lp, 0.0)
 
@@ -178,6 +222,8 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
 
         return _Carry(t=c.t + 1, tokens=tokens,
                       self_k=new_cache.self_k, self_v=new_cache.self_v,
+                      self_ks=new_cache.self_k_scale,
+                      self_vs=new_cache.self_v_scale,
                       state=state, finished=finished,
                       sum_logprobs=sum_logprobs,
                       no_speech=no_speech, align_buf=align_buf, key=key)
@@ -196,7 +242,7 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     jax.jit,
     static_argnames=("arch", "specials", "opts", "max_new_tokens",
                      "return_timestamps", "align_dtype",
-                     "cross_cache_dtype"))
+                     "cross_cache_dtype", "self_cache_dtype"))
 def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                       opts: GenerationOptions, encoder_out, prompt,
                       max_new_tokens: int, suppress_mask=None,
@@ -205,6 +251,7 @@ def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                       temperature=0.0, rng=None,
                       align_dtype: jnp.dtype = jnp.float32,
                       cross_cache_dtype: jnp.dtype | None = None,
+                      self_cache_dtype: jnp.dtype | None = None,
                       prompt_mask=None, sot_position: int = 0
                       ) -> DecodeResult:
     return greedy_decode(params, arch, specials, opts, encoder_out, prompt,
@@ -216,5 +263,6 @@ def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                          temperature=temperature, rng=rng,
                          align_dtype=align_dtype,
                          cross_cache_dtype=cross_cache_dtype,
+                         self_cache_dtype=self_cache_dtype,
                          prompt_mask=prompt_mask,
                          sot_position=sot_position)

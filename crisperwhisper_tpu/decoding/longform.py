@@ -43,6 +43,12 @@ def _kv_dtype(opts: GenerationOptions):
     return jnp.int8 if opts.kv_cache_int8 else None
 
 
+def _self_kv_dtype(opts: GenerationOptions):
+    if opts.self_kv_cache_int4:
+        return jnp.int4
+    return jnp.int8 if opts.self_kv_cache_int8 else None
+
+
 @dataclass
 class GenerateOutput:
     sequences: np.ndarray                       # [B, L] int64 eot-padded
@@ -87,6 +93,7 @@ def _decode_window(params, arch, specials, opts, segment_features,
             prompt_mask=(jnp.asarray(prompt_mask)
                          if prompt_mask is not None else None),
             cross_cache_dtype=_kv_dtype(opts),
+            self_cache_dtype=_self_kv_dtype(opts),
             sot_position=sot_position)
         score = np.asarray(res.sum_logprobs)
         is_normalized = False

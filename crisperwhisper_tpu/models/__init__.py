@@ -1,9 +1,9 @@
 from .whisper import (DecoderCache, alignment_selector, decode_step,
-                      decoder_forward, encode, forward, init_cache,
-                      init_params, sinusoids)
+                      decode_step_multi, decoder_forward, encode, forward,
+                      init_cache, init_params, sinusoids)
 from .loader import load_params, params_from_state_dict
 
 __all__ = ["DecoderCache", "alignment_selector", "decode_step",
-           "decoder_forward", "encode", "forward", "init_cache",
-           "init_params", "sinusoids", "load_params",
+           "decode_step_multi", "decoder_forward", "encode", "forward",
+           "init_cache", "init_params", "sinusoids", "load_params",
            "params_from_state_dict"]

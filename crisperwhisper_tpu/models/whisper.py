@@ -230,6 +230,9 @@ class DecoderCache(NamedTuple):
 
     cross_k_scale/cross_v_scale: [L, B, H, 1, K_enc] per-position dequant
     scales when the cross cache is int8. None => cross is bf16/f32.
+    self_k_scale/self_v_scale: [L, B, H, 1, max_target] per-position
+    scales when the SELF ring is quantized (new columns are quantized over
+    Dh as they are written). None => self is bf16/f32.
     """
     self_k: jax.Array
     self_v: jax.Array
@@ -237,6 +240,8 @@ class DecoderCache(NamedTuple):
     cross_v: jax.Array
     cross_k_scale: jax.Array | None = None
     cross_v_scale: jax.Array | None = None
+    self_k_scale: jax.Array | None = None
+    self_v_scale: jax.Array | None = None
 
 
 def _quantize(x: jax.Array, axis: int, qmax: float, dtype: jnp.dtype
@@ -259,11 +264,16 @@ def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
                dtype: jnp.dtype | None = None,
                cross_dtype: jnp.dtype | None = None,
                cache_len: int | None = None,
-               self_batch: int | None = None) -> DecoderCache:
+               self_batch: int | None = None,
+               self_dtype: jnp.dtype | None = None) -> DecoderCache:
     """cross_dtype=jnp.int8 / jnp.int4 enables the quantized cross cache
     (int4 halves the decode loop's dominant HBM read; s4 arrays must stay
     inside one jitted program on this backend — they do: the cache never
     crosses the decode program's boundary).
+    self_dtype=jnp.int8 / jnp.int4 likewise quantizes the SELF ring:
+    decode_step quantizes each new K/V column over Dh as it is written
+    and folds the per-position scales outside the dots (same scheme as
+    the cross cache).
     cache_len sizes the self-attention ring (default max_target_positions;
     decode is HBM-bound, so allocating only prompt+max_new saves traffic).
     self_batch sizes the self ring's batch independently of the encoder
@@ -292,19 +302,24 @@ def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
         return k.astype(dtype), v.astype(dtype)
 
     shape = (arch.decoder_layers, b, h, dh, cache_len)
+    if self_dtype in (jnp.int8, jnp.int4):
+        self_kwargs = dict(
+            self_k=jnp.zeros(shape, self_dtype),
+            self_v=jnp.zeros(shape, self_dtype),
+            self_k_scale=jnp.zeros((arch.decoder_layers, b, h, 1, cache_len),
+                                   jnp.bfloat16),
+            self_v_scale=jnp.zeros((arch.decoder_layers, b, h, 1, cache_len),
+                                   jnp.bfloat16))
+    else:
+        self_kwargs = dict(self_k=jnp.zeros(shape, dtype),
+                           self_v=jnp.zeros(shape, dtype))
     if quantize:
         kq, ks, vq, vs = jax.lax.map(per_layer_cross, dec["layers"])
-        return DecoderCache(self_k=jnp.zeros(shape, dtype),
-                            self_v=jnp.zeros(shape, dtype),
-                            cross_k=kq, cross_v=vq,
-                            cross_k_scale=ks, cross_v_scale=vs)
+        return DecoderCache(cross_k=kq, cross_v=vq,
+                            cross_k_scale=ks, cross_v_scale=vs,
+                            **self_kwargs)
     cross_k, cross_v = jax.lax.map(per_layer_cross, dec["layers"])
-    return DecoderCache(
-        self_k=jnp.zeros(shape, dtype),
-        self_v=jnp.zeros(shape, dtype),
-        cross_k=cross_k,
-        cross_v=cross_v,
-    )
+    return DecoderCache(cross_k=cross_k, cross_v=cross_v, **self_kwargs)
 
 
 def alignment_selector(arch: WhisperArch,
@@ -324,7 +339,8 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
                 position: jax.Array, cache: DecoderCache,
                 align_sel: jax.Array | None = None,
                 key_mask: jax.Array | None = None,
-                beam_groups: int = 1
+                beam_groups: int = 1,
+                align_dtype: jnp.dtype = jnp.float32
                 ) -> tuple[jax.Array, DecoderCache, jax.Array]:
     """One incremental decoder step.
 
@@ -351,8 +367,12 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     dec = params["decoder"]
     h = arch.decoder_attention_heads
     b = tokens.shape[0]
-    dtype = cache.self_k.dtype
     quantized = cache.cross_k_scale is not None
+    self_quant = cache.self_k_scale is not None
+    # activation dtype: the self ring's dtype unless that ring is an int
+    # cache, in which case activations follow the (unquantized) embedding
+    dtype = dec["tok_emb"].dtype if self_quant else cache.self_k.dtype
+    self_qmax = 7.0 if cache.self_k.dtype == jnp.int4 else 127.0
 
     x = dec["tok_emb"][tokens].astype(dtype)          # [B, d]
     x = x + dec["pos_emb"][position].astype(dtype)    # learned pos (:203-208)
@@ -395,21 +415,46 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         return out.astype(q.dtype), p
 
     def body(carry, layer_in):
-        hidden, self_k, self_v = carry
+        if self_quant:
+            hidden, self_k, self_v, self_ks, self_vs = carry
+        else:
+            hidden, self_k, self_v = carry
         li, lp, layer_cross_k, layer_cross_v, kv_scales, sel = layer_in
         # --- self-attention against the ring cache (sequence-last)
         y = layer_norm(hidden, lp["ln1"])
         q, k_new, v_new = _self_qkv(y, lp["self"], h, scale)
         # k_new/v_new: [B, H, 1, Dh] -> column [B, H, Dh, 1] at `position`
+        k_col = jnp.swapaxes(k_new, -1, -2)
+        v_col = jnp.swapaxes(v_new, -1, -2)
+        if self_quant:
+            # quantize the new column over Dh; per-position scales are
+            # folded outside the dots exactly like the cross cache
+            k_col, k_sc = _quantize(k_col.astype(jnp.float32), -2,
+                                    self_qmax, self_k.dtype)
+            v_col, v_sc = _quantize(v_col.astype(jnp.float32), -2,
+                                    self_qmax, self_v.dtype)
+            self_ks = jax.lax.dynamic_update_slice(
+                self_ks, k_sc[None], (li, 0, 0, 0, position))
+            self_vs = jax.lax.dynamic_update_slice(
+                self_vs, v_sc[None], (li, 0, 0, 0, position))
+        else:
+            k_col = k_col.astype(dtype)
+            v_col = v_col.astype(dtype)
         self_k = jax.lax.dynamic_update_slice(
-            self_k, jnp.swapaxes(k_new, -1, -2).astype(dtype)[None],
-            (li, 0, 0, 0, position))
+            self_k, k_col[None], (li, 0, 0, 0, position))
         self_v = jax.lax.dynamic_update_slice(
-            self_v, jnp.swapaxes(v_new, -1, -2).astype(dtype)[None],
-            (li, 0, 0, 0, position))
+            self_v, v_col[None], (li, 0, 0, 0, position))
         k_all = jax.lax.dynamic_index_in_dim(self_k, li, 0, keepdims=False)
         v_all = jax.lax.dynamic_index_in_dim(self_v, li, 0, keepdims=False)
-        attn_out, _ = seq_last_attention(q, k_all, v_all, self_mask)
+        if self_quant:
+            attn_out, _ = seq_last_attention(
+                q, k_all, v_all, self_mask,
+                k_scale=jax.lax.dynamic_index_in_dim(
+                    self_ks, li, 0, keepdims=False),
+                v_scale=jax.lax.dynamic_index_in_dim(
+                    self_vs, li, 0, keepdims=False))
+        else:
+            attn_out, _ = seq_last_attention(q, k_all, v_all, self_mask)
         hidden = hidden + dense(_merge_heads(attn_out), lp["self"]["o"])
         # --- cross-attention against cached encoder K/V
         y = layer_norm(hidden, lp["ln2"])
@@ -435,11 +480,18 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         else:
             probs_row = probs_full[:, :, 0, :]
         hidden = hidden + dense(_merge_heads(cross_out), lp["cross"]["o"])
-        # in-graph alignment-head selection: [B,H,K] x [H,A] -> [B,A,K]
+        # in-graph alignment-head selection: [B,H,K] x [H,A] -> [B,A,K].
+        # Stacked in align_dtype (bf16 in serving): the selector is
+        # one-hot, so each align head has EXACTLY ONE contributing layer
+        # and the cross-layer sum below is exact in any dtype — stacking
+        # bf16 halves this per-step scan-output traffic.
         aligned = jnp.einsum("bhk,ha->bak", probs_row, sel,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32
+                             ).astype(align_dtype)
         # --- MLP
         hidden = hidden + mlp_block(layer_norm(hidden, lp["ln3"]), lp["mlp"])
+        if self_quant:
+            return (hidden, self_k, self_v, self_ks, self_vs), aligned
         return (hidden, self_k, self_v), aligned
 
     sel = (jnp.asarray(align_sel) if align_sel is not None
@@ -447,17 +499,167 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     layer_ids = jnp.arange(arch.decoder_layers)
     kv_scales = ((cache.cross_k_scale, cache.cross_v_scale) if quantized
                  else (layer_ids, layer_ids))        # dummy xs when bf16
-    (x, new_k, new_v), aligned = jax.lax.scan(
-        body, (x, cache.self_k, cache.self_v),
+    carry0 = (x, cache.self_k, cache.self_v)
+    if self_quant:
+        carry0 = carry0 + (cache.self_k_scale, cache.self_v_scale)
+    final_carry, aligned = jax.lax.scan(
+        body, carry0,
         (layer_ids, dec["layers"], cache.cross_k, cache.cross_v,
          kv_scales, sel))
+    if self_quant:
+        x, new_k, new_v, new_ks, new_vs = final_carry
+    else:
+        x, new_k, new_v = final_carry
 
     x = layer_norm(x, dec["ln"])
     # weight-tied LM head (modeling_whisper.py:1168)
     logits = jnp.einsum("bd,vd->bv", x[:, 0, :], dec["tok_emb"].astype(dtype),
                         preferred_element_type=jnp.float32)
     align_probs = jnp.sum(aligned, axis=0)            # [B, A, 1500]
+    if align_probs.dtype != jnp.float32:
+        align_probs = align_probs.astype(jnp.float32)
     new_cache = cache._replace(self_k=new_k, self_v=new_v)
+    if self_quant:
+        new_cache = new_cache._replace(self_k_scale=new_ks,
+                                       self_v_scale=new_vs)
+    return logits, new_cache, align_probs
+
+
+def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
+                      position: jax.Array, cache: DecoderCache,
+                      align_sel: jax.Array | None = None,
+                      key_mask: jax.Array | None = None,
+                      align_dtype: jnp.dtype = jnp.float32
+                      ) -> tuple[jax.Array, DecoderCache, jax.Array]:
+    """S-token incremental decoder step (block prefill / verify pass).
+
+    Generalizes decode_step to a [B, S] token block at positions
+    [position, position + S): writes all S K/V columns, then attends with
+    a causal-within-block mask against the ring. Used for (a) one-shot
+    prompt prefill — a conditioned prompt (hf _prepare_decoder_input_ids,
+    generation_whisper.py:1875-1941) costs ONE step instead of P serial
+    steps — and (b) the verification forward of assisted decoding
+    (modeling_whisper.py:1359 WhisperForCausalLM's consumer).
+
+    Returns (logits [B, S, vocab] f32, new cache,
+             align_probs [B, A, S, K] f32).
+    """
+    dec = params["decoder"]
+    h = arch.decoder_attention_heads
+    b, s = tokens.shape
+    quantized = cache.cross_k_scale is not None
+    self_quant = cache.self_k_scale is not None
+    dtype = dec["tok_emb"].dtype if self_quant else cache.self_k.dtype
+    self_qmax = 7.0 if cache.self_k.dtype == jnp.int4 else 127.0
+
+    x = dec["tok_emb"][tokens].astype(dtype)               # [B, S, d]
+    pos_vec = position + jnp.arange(s)
+    x = x + dec["pos_emb"][pos_vec].astype(dtype)
+
+    # causal-within-block mask over ring positions: query at block row i
+    # (absolute position position+i) attends to pos <= position+i
+    ring_ids = jnp.arange(cache.self_k.shape[-1])
+    self_mask = ring_ids[None, None, None, :] <= pos_vec[None, None, :, None]
+    if key_mask is not None:
+        self_mask = self_mask & key_mask[:, None, None, :]
+
+    scale = arch.head_dim ** -0.5
+
+    def seq_last_attention(q, k_dk, v_dk, mask=None,
+                           k_scale=None, v_scale=None):
+        sc = jnp.einsum("bhqd,bhdt->bhqt", q, k_dk.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+        if k_scale is not None:
+            sc = sc * k_scale.astype(jnp.float32)
+        if mask is not None:
+            sc = jnp.where(mask, sc, jnp.float32(-1e9))
+        p = jax.nn.softmax(sc, axis=-1)
+        pv = p if v_scale is None else p * v_scale.astype(jnp.float32)
+        out = jnp.einsum("bhqt,bhdt->bhqd", pv.astype(q.dtype),
+                         v_dk.astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        return out.astype(q.dtype), p
+
+    def body(carry, layer_in):
+        if self_quant:
+            hidden, self_k, self_v, self_ks, self_vs = carry
+        else:
+            hidden, self_k, self_v = carry
+        li, lp, layer_cross_k, layer_cross_v, kv_scales, sel = layer_in
+        y = layer_norm(hidden, lp["ln1"])
+        q, k_new, v_new = _self_qkv(y, lp["self"], h, scale)
+        # k_new/v_new: [B, H, S, Dh] -> block [B, H, Dh, S] at `position`
+        k_blk = jnp.swapaxes(k_new, -1, -2)
+        v_blk = jnp.swapaxes(v_new, -1, -2)
+        if self_quant:
+            k_blk, k_sc = _quantize(k_blk.astype(jnp.float32), -2,
+                                    self_qmax, self_k.dtype)
+            v_blk, v_sc = _quantize(v_blk.astype(jnp.float32), -2,
+                                    self_qmax, self_v.dtype)
+            self_ks = jax.lax.dynamic_update_slice(
+                self_ks, k_sc[None], (li, 0, 0, 0, position))
+            self_vs = jax.lax.dynamic_update_slice(
+                self_vs, v_sc[None], (li, 0, 0, 0, position))
+        else:
+            k_blk = k_blk.astype(dtype)
+            v_blk = v_blk.astype(dtype)
+        self_k = jax.lax.dynamic_update_slice(
+            self_k, k_blk[None], (li, 0, 0, 0, position))
+        self_v = jax.lax.dynamic_update_slice(
+            self_v, v_blk[None], (li, 0, 0, 0, position))
+        k_all = jax.lax.dynamic_index_in_dim(self_k, li, 0, keepdims=False)
+        v_all = jax.lax.dynamic_index_in_dim(self_v, li, 0, keepdims=False)
+        if self_quant:
+            attn_out, _ = seq_last_attention(
+                q, k_all, v_all, self_mask,
+                k_scale=jax.lax.dynamic_index_in_dim(
+                    self_ks, li, 0, keepdims=False),
+                v_scale=jax.lax.dynamic_index_in_dim(
+                    self_vs, li, 0, keepdims=False))
+        else:
+            attn_out, _ = seq_last_attention(q, k_all, v_all, self_mask)
+        hidden = hidden + dense(_merge_heads(attn_out), lp["self"]["o"])
+        y = layer_norm(hidden, lp["ln2"])
+        qc = _split_heads(dense(y, lp["cross"]["q"]) * scale, h)
+        cross_out, probs = seq_last_attention(
+            qc, layer_cross_k, layer_cross_v,
+            k_scale=kv_scales[0] if quantized else None,
+            v_scale=kv_scales[1] if quantized else None)
+        hidden = hidden + dense(_merge_heads(cross_out.astype(hidden.dtype)),
+                                lp["cross"]["o"])
+        aligned = jnp.einsum("bhsk,ha->bask", probs, sel,
+                             preferred_element_type=jnp.float32
+                             ).astype(align_dtype)
+        hidden = hidden + mlp_block(layer_norm(hidden, lp["ln3"]), lp["mlp"])
+        if self_quant:
+            return (hidden, self_k, self_v, self_ks, self_vs), aligned
+        return (hidden, self_k, self_v), aligned
+
+    sel = (jnp.asarray(align_sel) if align_sel is not None
+           else jnp.zeros((arch.decoder_layers, h, 1), jnp.float32))
+    layer_ids = jnp.arange(arch.decoder_layers)
+    kv_scales = ((cache.cross_k_scale, cache.cross_v_scale) if quantized
+                 else (layer_ids, layer_ids))
+    carry0 = (x, cache.self_k, cache.self_v)
+    if self_quant:
+        carry0 = carry0 + (cache.self_k_scale, cache.self_v_scale)
+    final_carry, aligned = jax.lax.scan(
+        body, carry0,
+        (layer_ids, dec["layers"], cache.cross_k, cache.cross_v,
+         kv_scales, sel))
+    if self_quant:
+        x, new_k, new_v, new_ks, new_vs = final_carry
+    else:
+        x, new_k, new_v = final_carry
+
+    x = layer_norm(x, dec["ln"])
+    logits = jnp.einsum("bsd,vd->bsv", x, dec["tok_emb"].astype(dtype),
+                        preferred_element_type=jnp.float32)
+    align_probs = jnp.sum(aligned, axis=0).astype(jnp.float32)
+    new_cache = cache._replace(self_k=new_k, self_v=new_v)
+    if self_quant:
+        new_cache = new_cache._replace(self_k_scale=new_ks,
+                                       self_v_scale=new_vs)
     return logits, new_cache, align_probs
 
 

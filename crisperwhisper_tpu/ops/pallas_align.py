@@ -56,36 +56,44 @@ def _kernel(nt_ref, w_ref, out_ref, *, n_heads: int, width: int):
                   keepdims=True) / count
     z = (x - mean) / jnp.maximum(jnp.sqrt(var), 1e-10)
 
-    # 7-tap median along lanes with reflect at [0, K-1]: build the shifted
-    # copies with circular rolls, then patch the (static) edge columns
-    pad = width // 2
-    col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-    k = z.shape[1]
-    # Each tap is a circular lane roll; reflection at the edges touches at
-    # most `pad` STATIC columns per tap, patched via single-column
-    # broadcasts (Mosaic has no lane-reverse primitive).
-    def patch(s, j, src):
-        return jnp.where(col == j,
-                         jnp.broadcast_to(z[:, src:src + 1], z.shape), s)
-
-    shifted = []
-    for off in range(-pad, pad + 1):
-        # roll shift must be non-negative: left-shift by off == roll K-off
-        s = pltpu.roll(z, (-off) % k, 1)   # s[:, j] = z[:, j+off] (circular)
-        if off < 0:
-            for j in range(-off):          # reflect at 0: z[-(j+off)]
-                s = patch(s, j, -(j + off))
-        elif off > 0:
-            for j in range(k - off, k):    # reflect at K-1: z[2K-2-j-off]
-                s = patch(s, j, 2 * k - 2 - j - off)
-        shifted.append(s)
-    med = _median_of(shifted)
-
     @pl.when(head == 0)
     def _init():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    out_ref[0] += med * (-1.0 / n_heads)     # negated head-mean (DTW cost)
+    # 7-tap median along lanes with reflect at [0, K-1]: build the shifted
+    # copies with circular rolls, then patch the (static) edge columns.
+    # The median stage runs in STATIC ROW CHUNKS: the taps roll along the
+    # lane (key) axis only, so token rows are independent — chunking keeps
+    # the 7 shifted copies + sort temporaries bounded (~width * chunk * K
+    # floats) instead of scaling with T, which blows the 16M scoped-VMEM
+    # limit at T=256 (7+ full [256, 1536] f32 temps).
+    pad = width // 2
+    k = z.shape[1]
+    chunk = min(t, 64)
+
+    for t0 in range(0, t, chunk):
+        zc = z[t0:t0 + chunk]                          # [chunk, K]
+        col = jax.lax.broadcasted_iota(jnp.int32, zc.shape, 1)
+
+        def patch(s, j, src, zc=zc, col=col):
+            return jnp.where(col == j,
+                             jnp.broadcast_to(zc[:, src:src + 1], zc.shape),
+                             s)
+
+        shifted = []
+        for off in range(-pad, pad + 1):
+            # roll shift must be non-negative: left-shift off == roll K-off
+            s = pltpu.roll(zc, (-off) % k, 1)  # s[:, j] = zc[:, j+off]
+            if off < 0:
+                for j in range(-off):          # reflect at 0: z[-(j+off)]
+                    s = patch(s, j, -(j + off))
+            elif off > 0:
+                for j in range(k - off, k):    # reflect at K-1: z[2K-2-j-off]
+                    s = patch(s, j, 2 * k - 2 - j - off)
+            shifted.append(s)
+        med = _median_of(shifted)
+        # negated head-mean (DTW cost)
+        out_ref[0, t0:t0 + chunk] += med * (-1.0 / n_heads)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "interpret"))

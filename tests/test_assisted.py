@@ -1,0 +1,104 @@
+"""Assisted (speculative) decoding exactness: for ANY draft model, the
+greedy assisted output must equal plain greedy decode — sequences,
+logprob accumulation, no-speech capture, and alignment rows. Matches the
+reference's assisted-generation contract (hf generation/utils.py
+candidate-generator path; WhisperForCausalLM as assistant,
+modeling_whisper.py:1359)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crisperwhisper_tpu.config import GenerationOptions
+from crisperwhisper_tpu.decoding import assisted_decode_jit, greedy_decode_jit
+from crisperwhisper_tpu.decoding.processors import suppress_tokens_mask
+from crisperwhisper_tpu.models import alignment_selector, encode, init_params
+from helpers import TINY_SPECIALS, rand_mel, tiny_arch
+
+MAX_NEW = 14
+
+
+def _setup(seed_main=0, seed_draft=0):
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(seed_main))
+    draft = (params if seed_draft == seed_main
+             else init_params(arch, jax.random.PRNGKey(seed_draft)))
+    mel = rand_mel(batch=1, seed=5)
+    enc = encode(params, arch, jnp.asarray(mel))
+    denc = enc if seed_draft == seed_main else encode(draft, arch,
+                                                      jnp.asarray(mel))
+    opts = GenerationOptions(max_initial_timestamp_index=50)
+    sel = jnp.asarray(alignment_selector(arch, ((0, 1), (1, 2))))
+    return arch, params, draft, enc, denc, opts, sel
+
+
+def _compare(ref, got):
+    np.testing.assert_array_equal(np.asarray(got.sequences),
+                                  np.asarray(ref.sequences))
+    np.testing.assert_array_equal(np.asarray(got.num_generated),
+                                  np.asarray(ref.num_generated))
+    np.testing.assert_allclose(np.asarray(got.sum_logprobs),
+                               np.asarray(ref.sum_logprobs), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.no_speech_probs),
+                               np.asarray(ref.no_speech_probs), atol=1e-5)
+    # alignment rows: compare recorded region (num_generated - 1 rows)
+    g = int(np.asarray(ref.num_generated)[0])
+    rows = max(g - 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(got.align_probs)[:, :, :rows],
+        np.asarray(ref.align_probs)[:, :, :rows], atol=1e-5)
+
+
+@pytest.mark.parametrize("spec_len", [1, 2, 4, 7])
+def test_assisted_equals_greedy_accepting_draft(spec_len):
+    """Draft == main: near-total acceptance; output must be identical."""
+    arch, params, draft, enc, denc, opts, sel = _setup()
+    prompt = jnp.full((1, 1), TINY_SPECIALS.sot, jnp.int32)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            MAX_NEW, align_sel=sel)
+    got = assisted_decode_jit(params, arch, draft, arch, TINY_SPECIALS,
+                              opts, enc, denc, prompt, MAX_NEW,
+                              spec_len=spec_len, align_sel=sel)
+    _compare(ref, got)
+
+
+def test_assisted_equals_greedy_garbage_draft():
+    """Disagreeing draft (different random init): acceptance collapses to
+    ~0 but the committed output must STILL equal plain greedy."""
+    arch, params, draft, enc, denc, opts, sel = _setup(seed_draft=7)
+    prompt = jnp.full((1, 1), TINY_SPECIALS.sot, jnp.int32)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            MAX_NEW, align_sel=sel)
+    got = assisted_decode_jit(params, arch, draft, arch, TINY_SPECIALS,
+                              opts, enc, denc, prompt, MAX_NEW,
+                              spec_len=4, align_sel=sel)
+    _compare(ref, got)
+
+
+def test_assisted_multi_token_prompt_and_suppress():
+    """Longer forced prompt + suppress mask (the serving processor set)."""
+    arch, params, draft, enc, denc, opts, sel = _setup(seed_draft=3)
+    sp = TINY_SPECIALS
+    prompt = jnp.asarray([[sp.sot, sp.sot + 1, sp.no_timestamps - 1]],
+                         jnp.int32)
+    supp = jnp.asarray(suppress_tokens_mask(arch.vocab_size, (17, 23)))
+    ref = greedy_decode_jit(params, arch, sp, opts, enc, prompt, MAX_NEW,
+                            suppress_mask=supp, align_sel=sel,
+                            sot_position=0)
+    got = assisted_decode_jit(params, arch, draft, arch, sp, opts, enc,
+                              denc, prompt, MAX_NEW, spec_len=3,
+                              suppress_mask=supp, align_sel=sel,
+                              sot_position=0)
+    _compare(ref, got)
+
+
+def test_assisted_rejects_batch():
+    arch, params, draft, enc, denc, opts, sel = _setup()
+    prompt = jnp.full((2, 1), TINY_SPECIALS.sot, jnp.int32)
+    enc2 = jnp.concatenate([enc, enc], axis=0)
+    with pytest.raises(ValueError, match="batch_size == 1"):
+        from crisperwhisper_tpu.decoding import assisted_decode
+        assisted_decode(params, arch, draft, arch, TINY_SPECIALS, opts,
+                        enc2, enc2, prompt, max_new_tokens=4)

@@ -54,3 +54,44 @@ def test_int8_decode_token_agreement():
                             16, cross_cache_dtype=jnp.int8)
     agree = (np.asarray(ref.sequences) == np.asarray(got.sequences)).mean()
     assert agree >= 0.85, agree
+
+
+def test_int8_self_cache_token_agreement():
+    """Quantized SELF ring (columns quantized as written): greedy tokens
+    should overwhelmingly agree with the full-precision ring."""
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    mel = rand_mel(batch=4, seed=9)
+    enc = encode(params, arch, jnp.asarray(mel))
+    prompt = jnp.full((4, 1), TINY_SPECIALS.sot, jnp.int32)
+    opts = GenerationOptions(max_initial_timestamp_index=50)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            16)
+    got = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            16, self_cache_dtype=jnp.int8)
+    agree = (np.asarray(ref.sequences) == np.asarray(got.sequences)).mean()
+    assert agree >= 0.85, agree
+
+
+def test_int8_both_caches_with_alignment():
+    """Both rings quantized at once + alignment capture stays sane
+    (probabilities in [0, 1], finite, rows roughly normalized)."""
+    from crisperwhisper_tpu.models import alignment_selector
+
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    mel = rand_mel(batch=2, seed=3)
+    enc = encode(params, arch, jnp.asarray(mel))
+    prompt = jnp.full((2, 1), TINY_SPECIALS.sot, jnp.int32)
+    opts = GenerationOptions(max_initial_timestamp_index=50)
+    sel = jnp.asarray(alignment_selector(arch, ((0, 0), (1, 1))))
+    res = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            8, align_sel=sel,
+                            cross_cache_dtype=jnp.int8,
+                            self_cache_dtype=jnp.int8)
+    probs = np.asarray(res.align_probs)
+    assert np.isfinite(probs).all()
+    assert probs.min() >= 0.0 and probs.max() <= 1.0 + 1e-3
+    sums = probs.sum(-1)
+    recorded = sums[sums > 0]
+    assert recorded.size and np.allclose(recorded, 1.0, atol=2e-2)
