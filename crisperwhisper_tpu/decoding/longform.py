@@ -202,14 +202,27 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
             / INPUT_STRIDE
         seek_num_frames = np.minimum(max_frames - seek, num_segment_frames)
 
-        # slice + right-pad each row's current window (host, cheap)
-        segment = np.zeros((b, feats.shape[1], num_segment_frames),
+        # --- dynamic batch shrink (hf _maybe_reduce_batch :1837-1851) ---
+        # finished rows are compacted out and the window decodes a
+        # power-of-2 BUCKET of the active rows: static shapes bound the
+        # number of compiled programs to log2(B) sizes while long-tail
+        # rows stop paying for finished ones. Filler slots (bucket >
+        # n_active) repeat the first active row and are discarded.
+        idx = np.nonzero(active)[0]
+        nact = len(idx)
+        bucket = 1
+        while bucket < nact:
+            bucket *= 2
+        bucket = min(bucket, b)
+        rows = np.concatenate([idx, np.repeat(idx[:1], bucket - nact)])
+
+        # slice + right-pad each bucket row's current window (host, cheap)
+        segment = np.zeros((bucket, feats.shape[1], num_segment_frames),
                            np.float32)
-        for i in range(b):
-            s = int(seek[i]) if active[i] else 0
-            n = int(seek_num_frames[i]) if active[i] else num_segment_frames
-            n = max(min(n, total_frames - s), 0)
-            segment[i, :, :n] = feats[i, :, s:s + n]
+        for j, i in enumerate(rows):
+            s = int(seek[i])
+            n = max(min(int(seek_num_frames[i]), total_frames - s), 0)
+            segment[j, :, :n] = feats[i, :, s:s + n]
 
         if num_frames is not None:
             dtw_frames = np.minimum((num_frames - seek) // 2,
@@ -217,26 +230,27 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
             dtw_frames = np.maximum(dtw_frames, 1)
         else:
             dtw_frames = np.full((b,), arch.max_source_positions, np.int64)
+        dtw_frames_bucket = dtw_frames[rows]
 
         # --- conditioned decoder prompt (hf _prepare_decoder_input_ids) ---
-        iter_prompt = init_tokens
+        iter_prompt = init_tokens[rows]
         iter_mask = None
-        if (conditioning and do_condition.any()
-                and any(len(s) for s in current_segments)):
+        if (conditioning and do_condition[rows].any()
+                and any(len(current_segments[i]) for i in rows)):
             from .segments import pad_segments_to_max_length as _pad
             prev_tok = _pad(
                 [current_segments[i] if do_condition[i] else []
-                 for i in range(b)],
+                 for i in rows],
                 specials.eot, padding_side="left", cut_off_length=cut_off,
                 bos_token=np.asarray([specials.sot_prev], np.int64),
                 skip_ending_double_timestamps=True,
                 timestamp_begin=specials.timestamp_begin,
                 fixed_total_length=prev_width)
             iter_prompt = np.concatenate(
-                [prev_tok.astype(np.int32), init_tokens], axis=1)
+                [prev_tok.astype(np.int32), iter_prompt], axis=1)
             iter_mask = np.concatenate(
                 [prev_tok != specials.eot,
-                 np.ones_like(init_tokens, bool)], axis=1)
+                 np.ones_like(init_tokens[rows], bool)], axis=1)
         p = iter_prompt.shape[1]
         max_new = min(opts.max_new_tokens, arch.max_target_positions - p)
         # the SOT slot inside the (possibly prev-conditioned) prompt — the
@@ -244,29 +258,31 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
         sot_position = p - init_tokens.shape[1]
 
         # --- temperature fallback ladder (generate_with_fallback) ---
-        resolved = ~active
-        results: list[Any] = [None] * b
+        resolved = np.zeros((bucket,), bool)
+        resolved[nact:] = True                         # filler slots
+        results: list[Any] = [None] * bucket
         for t_idx, temperature in enumerate(opts.temperatures):
             rng, sub = jax.random.split(rng)
             seqs, ngen, score, normalized, no_sp, jt = _decode_window(
                 params, arch, specials, opts, jnp.asarray(segment),
                 iter_prompt, max_new, suppress, begin_suppress, align_sel,
-                float(temperature), sub, dtw_frames,
+                float(temperature), sub, dtw_frames_bucket,
                 prompt_mask=iter_mask, sot_position=sot_position)
             is_last = t_idx == len(opts.temperatures) - 1
-            for i in range(b):
-                if resolved[i]:
+            for j in range(nact):
+                if resolved[j]:
                     continue
-                g = int(ngen[i])
-                seq_with_eos = seqs[i, p:p + g]
-                avg_lp = (score[i] if normalized
-                          else (score[i] / g) if g > 0 else 0.0)
-                nf, skip = need_fallback(seq_with_eos, avg_lp, no_sp[i],
+                i = rows[j]
+                g = int(ngen[j])
+                seq_with_eos = seqs[j, p:p + g]
+                avg_lp = (score[j] if normalized
+                          else (score[j] / g) if g > 0 else 0.0)
+                nf, skip = need_fallback(seq_with_eos, avg_lp, no_sp[j],
                                          arch.vocab_size, opts)
                 if not nf or is_last:
-                    results[i] = (seq_with_eos, jt[i] if jt is not None
+                    results[j] = (seq_with_eos, jt[j] if jt is not None
                                   else None, skip)
-                    resolved[i] = True
+                    resolved[j] = True
                     # condition the NEXT window only on low-temperature
                     # results (generate_with_fallback :1100-1103)
                     do_condition[i] = conditioning and temperature < 0.5
@@ -274,10 +290,9 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 break
 
         # --- segment extraction & seek advance ---
-        for i in range(b):
-            if not active[i]:
-                continue
-            seq_with_eos, jt_row, skip = results[i]
+        for j in range(nact):
+            i = rows[j]
+            seq_with_eos, jt_row, skip = results[j]
             if skip:
                 seek[i] += int(seek_num_frames[i])
                 continue
