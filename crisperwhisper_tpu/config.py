@@ -174,6 +174,9 @@ class GenerationOptions:
     #                                   as written; per-position scales
     #                                   folded outside the dots)
     self_kv_cache_int4: bool = False
+    assistant_spec_len: int = 5     # speculation window for assisted
+    #                                 decoding (hf num_assistant_tokens
+    #                                 default, generation config)
 
 
 @dataclass(frozen=True)

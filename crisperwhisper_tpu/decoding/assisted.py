@@ -50,6 +50,7 @@ def assisted_decode(params: Any, arch: WhisperArch,
                     align_dtype: jnp.dtype = jnp.float32,
                     cross_cache_dtype: jnp.dtype | None = None,
                     self_cache_dtype: jnp.dtype | None = None,
+                    prompt_mask: jax.Array | None = None,
                     sot_position: int = 0) -> DecodeResult:
     b, p = prompt.shape
     if b != 1:
@@ -73,14 +74,19 @@ def assisted_decode(params: Any, arch: WhisperArch,
                              cache_len=t_total + s)
 
     prompt = prompt.astype(jnp.int32)
+    key_mask = None
+    if prompt_mask is not None:
+        key_mask = jnp.concatenate(
+            [jnp.asarray(prompt_mask, bool),
+             jnp.ones((b, t_total + s - p), bool)], axis=1)
     no_speech0 = jnp.zeros((b,), jnp.float32)
     if p > 1:
         pre_logits, cache, _ = decode_step_multi(
             params, arch, prompt[:, :p - 1], jnp.int32(0), cache,
-            align_dtype=align_dtype)
+            key_mask=key_mask, align_dtype=align_dtype)
         _, draft_cache, _ = decode_step_multi(
             draft_params, draft_arch, prompt[:, :p - 1], jnp.int32(0),
-            draft_cache)
+            draft_cache, key_mask=key_mask)
         if sot_position <= p - 2:          # static here (no traced callers)
             lg = pre_logits[:, sot_position]
             no_speech0 = jnp.exp(lg[:, specials.no_speech]
@@ -113,7 +119,8 @@ def assisted_decode(params: Any, arch: WhisperArch,
             dc_k, dc_v, dstate, tok = carry
             dc = draft_cache._replace(self_k=dc_k, self_v=dc_v)
             lgt, dc, _ = decode_step(draft_params, draft_arch, tok,
-                                     length - 1 + i, dc)
+                                     length - 1 + i, dc,
+                                     key_mask=key_mask)
             nxt = jnp.argmax(proc(lgt, dstate), axis=-1).astype(jnp.int32)
             return (dc.self_k, dc.self_v, dstate.update(nxt, ts_begin),
                     nxt), nxt
@@ -130,6 +137,7 @@ def assisted_decode(params: Any, arch: WhisperArch,
                                 axis=1) if s > 1 else feed0[:, None]
         logits, mcache, align = decode_step_multi(
             params, arch, block, length - 1, mcache, align_sel=align_sel,
+            key_mask=key_mask,
             align_dtype=align_dtype)        # [1, S, V], [1, A, S, K]
 
         # ---- sequential accept over the block ----
@@ -220,6 +228,7 @@ def assisted_decode_jit(params, arch, draft_params, draft_arch, specials,
                         align_dtype: jnp.dtype = jnp.float32,
                         cross_cache_dtype: jnp.dtype | None = None,
                         self_cache_dtype: jnp.dtype | None = None,
+                        prompt_mask=None,
                         sot_position: int = 0) -> DecodeResult:
     return assisted_decode(params, arch, draft_params, draft_arch, specials,
                            opts, encoder_out, draft_encoder_out, prompt,
@@ -231,4 +240,5 @@ def assisted_decode_jit(params, arch, draft_params, draft_arch, specials,
                            align_dtype=align_dtype,
                            cross_cache_dtype=cross_cache_dtype,
                            self_cache_dtype=self_cache_dtype,
+                           prompt_mask=prompt_mask,
                            sot_position=sot_position)

@@ -59,7 +59,7 @@ class GenerateOutput:
 def _decode_window(params, arch, specials, opts, segment_features,
                    prompt, max_new, suppress, begin_suppress, align_sel,
                    temperature, rng, dtw_frames, prompt_mask=None,
-                   sot_position: int = 0):
+                   sot_position: int = 0, assistant=None):
     """One batched decode of 30 s windows + on-device DTW. Returns host
     arrays: sequences, num_generated, avg_logprob_or_score, no_speech,
     jump_times.
@@ -70,7 +70,31 @@ def _decode_window(params, arch, specials, opts, segment_features,
     length-normalized) — the quantity _need_fallback consumes (:1266)."""
     encoder_out = encode(params, arch, segment_features)
     use_beams = opts.num_beams > 1 and temperature == 0.0
-    if use_beams:
+    use_assisted = (assistant is not None and not use_beams
+                    and temperature == 0.0
+                    and segment_features.shape[0] == 1)
+    if use_assisted:
+        # speculative path: the draft proposes, the main model verifies a
+        # whole window per forward (hf assistant_model analog — exactness
+        # vs greedy is test-pinned, so fallback gates see identical
+        # tokens/scores)
+        from .assisted import assisted_decode_jit
+        draft_params, draft_arch = assistant
+        draft_enc = encode(draft_params, draft_arch, segment_features)
+        res = assisted_decode_jit(
+            params, arch, draft_params, draft_arch, specials, opts,
+            encoder_out, draft_enc, jnp.asarray(prompt), max_new,
+            opts.assistant_spec_len, suppress_mask=suppress,
+            begin_suppress_mask=begin_suppress, align_sel=align_sel,
+            return_timestamps=opts.return_timestamps,
+            cross_cache_dtype=_kv_dtype(opts),
+            self_cache_dtype=_self_kv_dtype(opts),
+            prompt_mask=(jnp.asarray(prompt_mask)
+                         if prompt_mask is not None else None),
+            sot_position=sot_position)
+        score = np.asarray(res.sum_logprobs)
+        is_normalized = False
+    elif use_beams:
         from .beam import beam_decode_jit
         res = beam_decode_jit(
             params, arch, specials, opts, encoder_out, jnp.asarray(prompt),
@@ -122,7 +146,9 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
              task_token: int | None = None,
              detect_language_first: bool = False,
              rng: jax.Array | None = None,
-             monitor_progress: Any | None = None) -> GenerateOutput:
+             monitor_progress: Any | None = None,
+             assistant: tuple[Any, WhisperArch] | None = None
+             ) -> GenerateOutput:
     """Transcribe batched (possibly >30 s) mel features.
 
     input_features: [B, n_mels, total_frames] f32.
@@ -132,6 +158,11 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
     max_frames: [B] per-row seek bound; defaults to total_frames (the
       reference's _retrieve_max_frames_and_seek: attention-mask bound for
       batched long-form, full window for short-form, :1782-1795).
+    assistant: optional (draft_params, draft_arch) pair — the reference's
+      generate(assistant_model=...) analog. Single-row greedy windows
+      (including compaction tails of a batch) run the speculative
+      draft-and-verify path; output is exactness-pinned to plain greedy,
+      so fallback gating is unaffected.
     """
     feats = np.asarray(input_features)
     b, _, total_frames = feats.shape
@@ -267,7 +298,8 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 params, arch, specials, opts, jnp.asarray(segment),
                 iter_prompt, max_new, suppress, begin_suppress, align_sel,
                 float(temperature), sub, dtw_frames_bucket,
-                prompt_mask=iter_mask, sot_position=sot_position)
+                prompt_mask=iter_mask, sot_position=sot_position,
+                assistant=assistant)
             is_last = t_idx == len(opts.temperatures) - 1
             for j in range(nact):
                 if resolved[j]:

@@ -228,11 +228,15 @@ class DecoderCache(NamedTuple):
     HBM footprint and per-step read traffic of the decode bottleneck;
     sequence-last keeps the 128-lane axis ~full (1500 -> 1536).
 
-    cross_k_scale/cross_v_scale: [L, B, H, 1, K_enc] per-position dequant
-    scales when the cross cache is int8. None => cross is bf16/f32.
-    self_k_scale/self_v_scale: [L, B, H, 1, max_target] per-position
-    scales when the SELF ring is quantized (new columns are quantized over
-    Dh as they are written). None => self is bf16/f32.
+    cross_k_scale/cross_v_scale: [L, B, H, K_enc] per-position dequant
+    scales when the cross cache is int8/int4. None => cross is bf16/f32.
+    self_k_scale/self_v_scale: [L, B, H, max_target] per-position scales
+    when the SELF ring is quantized (new columns are quantized over Dh as
+    they are written). None => self is bf16/f32.
+    Scale layout note: scales deliberately carry NO singleton axis — a
+    trailing [.., 1, T] shape puts 1 on the sublane axis, which TPU tiling
+    pads to the tile height (16 for bf16): a 16x storage AND per-step read
+    blow-up on tensors that are touched every decode step.
     """
     self_k: jax.Array
     self_v: jax.Array
@@ -298,7 +302,7 @@ def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
         if quantize:
             kq, ks = _quantize(k.astype(jnp.float32), -2, qmax, cross_dtype)
             vq, vs = _quantize(v.astype(jnp.float32), -2, qmax, cross_dtype)
-            return kq, ks, vq, vs
+            return kq, ks[:, :, 0, :], vq, vs[:, :, 0, :]
         return k.astype(dtype), v.astype(dtype)
 
     shape = (arch.decoder_layers, b, h, dh, cache_len)
@@ -306,9 +310,9 @@ def init_cache(params: Params, arch: WhisperArch, encoder_out: jax.Array,
         self_kwargs = dict(
             self_k=jnp.zeros(shape, self_dtype),
             self_v=jnp.zeros(shape, self_dtype),
-            self_k_scale=jnp.zeros((arch.decoder_layers, b, h, 1, cache_len),
+            self_k_scale=jnp.zeros((arch.decoder_layers, b, h, cache_len),
                                    jnp.bfloat16),
-            self_v_scale=jnp.zeros((arch.decoder_layers, b, h, 1, cache_len),
+            self_v_scale=jnp.zeros((arch.decoder_layers, b, h, cache_len),
                                    jnp.bfloat16))
     else:
         self_kwargs = dict(self_k=jnp.zeros(shape, dtype),
@@ -404,11 +408,12 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         s = jnp.einsum("bhqd,bhdt->bhqt", q, k_dk.astype(q.dtype),
                        preferred_element_type=jnp.float32)
         if k_scale is not None:
-            s = s * k_scale.astype(jnp.float32)
+            s = s * k_scale.astype(jnp.float32)[:, :, None, :]
         if mask is not None:
             s = jnp.where(mask, s, jnp.float32(-1e9))
         p = jax.nn.softmax(s, axis=-1)
-        pv = p if v_scale is None else p * v_scale.astype(jnp.float32)
+        pv = (p if v_scale is None
+              else p * v_scale.astype(jnp.float32)[:, :, None, :])
         out = jnp.einsum("bhqt,bhdt->bhqd", pv.astype(q.dtype),
                          v_dk.astype(q.dtype),
                          preferred_element_type=jnp.float32)
@@ -434,9 +439,9 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
             v_col, v_sc = _quantize(v_col.astype(jnp.float32), -2,
                                     self_qmax, self_v.dtype)
             self_ks = jax.lax.dynamic_update_slice(
-                self_ks, k_sc[None], (li, 0, 0, 0, position))
+                self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
             self_vs = jax.lax.dynamic_update_slice(
-                self_vs, v_sc[None], (li, 0, 0, 0, position))
+                self_vs, v_sc[None, :, :, 0, :], (li, 0, 0, position))
         else:
             k_col = k_col.astype(dtype)
             v_col = v_col.astype(dtype)
@@ -570,11 +575,12 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
         sc = jnp.einsum("bhqd,bhdt->bhqt", q, k_dk.astype(q.dtype),
                         preferred_element_type=jnp.float32)
         if k_scale is not None:
-            sc = sc * k_scale.astype(jnp.float32)
+            sc = sc * k_scale.astype(jnp.float32)[:, :, None, :]
         if mask is not None:
             sc = jnp.where(mask, sc, jnp.float32(-1e9))
         p = jax.nn.softmax(sc, axis=-1)
-        pv = p if v_scale is None else p * v_scale.astype(jnp.float32)
+        pv = (p if v_scale is None
+              else p * v_scale.astype(jnp.float32)[:, :, None, :])
         out = jnp.einsum("bhqt,bhdt->bhqd", pv.astype(q.dtype),
                          v_dk.astype(q.dtype),
                          preferred_element_type=jnp.float32)
@@ -597,9 +603,9 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
             v_blk, v_sc = _quantize(v_blk.astype(jnp.float32), -2,
                                     self_qmax, self_v.dtype)
             self_ks = jax.lax.dynamic_update_slice(
-                self_ks, k_sc[None], (li, 0, 0, 0, position))
+                self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
             self_vs = jax.lax.dynamic_update_slice(
-                self_vs, v_sc[None], (li, 0, 0, 0, position))
+                self_vs, v_sc[None, :, :, 0, :], (li, 0, 0, position))
         else:
             k_blk = k_blk.astype(dtype)
             v_blk = v_blk.astype(dtype)

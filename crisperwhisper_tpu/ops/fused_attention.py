@@ -44,16 +44,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
     if kv_len < k.shape[1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, _NEG_INF)
-    p = jax.nn.softmax(s, axis=-1)                 # [bq, Tk_pad]
-    # o[d, q] = sum_t v[d, t] * p[q, t]
-    o_ref[0] = jax.lax.dot_general(
-        v, p.astype(v.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # softmax with the denominator FOLDED OUT of the [bq, Tk] pass: the
+    # divide runs on the [Dh, bq] output instead (24x fewer lanes); the
+    # f32 reassociation stays well inside the kernel's 2e-5 parity band
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)                             # [bq, Tk_pad]
+    denom = jnp.sum(e, axis=-1)                    # [bq]
+    # o[d, q] = (sum_t v[d, t] * e[q, t]) / denom[q]
+    o = jax.lax.dot_general(v, e.astype(v.dtype), (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o / denom[None, :]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q",))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    block_q: int = 256) -> jax.Array:
+                    block_q: int = 768) -> jax.Array:
     """softmax(Q K^T) V with scores kept in VMEM.
 
     q: [B, H, Tq, D] (pre-scaled), k/v: [B, H, Tk, D]. Returns q-shaped.

@@ -26,13 +26,26 @@ ITERS = int(os.environ.get("ITERS", "5"))
 PEAK = 197e12
 
 
+REPS = 8        # sequential calls chained INSIDE one jitted program, so
+#                 per-dispatch tunnel latency (tens of ms over axon) is
+#                 amortized 1/REPS and doesn't swamp the kernel time
+
+
+def chain(attn):
+    def run(q, k, v):
+        acc = q
+        for _ in range(REPS):
+            acc = attn(acc, k, v).astype(q.dtype)
+        return jnp.sum(acc.astype(jnp.float32))
+    return jax.jit(run)
+
+
 def timeit(fn, *args):
-    out = fn(*args)
-    float(jnp.sum(out))
+    float(fn(*args))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        float(jnp.sum(fn(*args)))
-    return (time.perf_counter() - t0) / ITERS
+        float(fn(*args))
+    return (time.perf_counter() - t0) / ITERS / REPS
 
 
 def main():
@@ -52,12 +65,12 @@ def main():
         return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
                           preferred_element_type=v.dtype)
 
-    dt = timeit(jax.jit(xla_attn), q, k, v)
+    dt = timeit(chain(xla_attn), q, k, v)
     print(f"xla eager          {dt * 1e3:7.1f} ms  MFU "
           f"{flops / dt / PEAK * 100:5.1f}%", flush=True)
-    for bq in (128, 256, 512, 768):
-        fn = jax.jit(lambda q, k, v, bq=bq: fused_attention(q, k, v,
-                                                            block_q=bq))
+    for bq in (256, 512, 768):
+        fn = chain(lambda q, k, v, bq=bq: fused_attention(q, k, v,
+                                                          block_q=bq))
         dt = timeit(fn, q, k, v)
         print(f"pallas block_q={bq:4d} {dt * 1e3:7.1f} ms  MFU "
               f"{flops / dt / PEAK * 100:5.1f}%", flush=True)

@@ -102,3 +102,30 @@ def test_assisted_rejects_batch():
         from crisperwhisper_tpu.decoding import assisted_decode
         assisted_decode(params, arch, draft, arch, TINY_SPECIALS, opts,
                         enc2, enc2, prompt, max_new_tokens=4)
+
+
+def test_generate_with_assistant_equals_plain():
+    """generate(assistant=...) on a single-row multi-window audio must
+    produce the same sequences/segments as plain generate (the assisted
+    path is exactness-pinned, so the seek loop sees identical windows)."""
+    from crisperwhisper_tpu.decoding import generate
+
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    draft = init_params(arch, jax.random.PRNGKey(9))
+    opts = GenerationOptions(max_initial_timestamp_index=50,
+                             max_new_tokens=20, temperatures=(0.0,),
+                             compression_ratio_threshold=None,
+                             logprob_threshold=None,
+                             no_speech_threshold=None,
+                             assistant_spec_len=3)
+    frames = 1100
+    mel = rand_mel(batch=1, seed=41, frames=frames)
+    lens = np.array([frames])
+    plain = generate(params, arch, TINY_SPECIALS, opts, jnp.asarray(mel),
+                     num_frames=lens, max_frames=lens)
+    assisted = generate(params, arch, TINY_SPECIALS, opts, jnp.asarray(mel),
+                        num_frames=lens, max_frames=lens,
+                        assistant=(draft, arch))
+    np.testing.assert_array_equal(assisted.sequences, plain.sequences)
+    assert len(assisted.segments[0]) == len(plain.segments[0])
