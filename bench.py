@@ -23,7 +23,9 @@ BASELINE.json:5).
 
 Env knobs: BENCH_BATCH, BENCH_TOKEN_ROWS ("128,192,256"), BENCH_ITERS,
 BENCH_KV ("int8"|"int4"|"bf16"), BENCH_SELF_KV ("int8"|"int4"|"bf16"),
-BENCH_W_INT8 ("1"|"0").
+BENCH_W ("int8"|"int4" group-wise|"bf16"). NOTE: BENCH_W=int4 does not
+run on the axon TPU backend — s4 jit arguments trip a backend
+RecursionError (see models/quantize.py); int8 is the serving default.
 """
 
 import json
@@ -56,7 +58,7 @@ ITERS = int(os.environ.get("BENCH_ITERS", "4"))
 N_ALIGN_HEADS = 15     # CrisperWhisper fine-tunes 15 heads (README:295)
 KV = os.environ.get("BENCH_KV", "int4")
 SELF_KV = os.environ.get("BENCH_SELF_KV", "int8")
-W_INT8 = os.environ.get("BENCH_W_INT8", "1") == "1"
+W_BITS = {"int8": 8, "int4": 4, "bf16": 0}[os.environ.get("BENCH_W", "int8")]
 CHUNK_STRIDE_S = 5.0   # pipeline overlap stride each side (chunk/6)
 
 
@@ -73,11 +75,11 @@ def main():
                      if on_tpu else None)
 
     params = init_params(arch, jax.random.PRNGKey(0), dtype=dtype)
-    if W_INT8 and on_tpu:
+    if W_BITS and on_tpu:
         from crisperwhisper_tpu.models.quantize import (
             fuse_decoder_qkv, quantize_decoder_weights)
         params = quantize_decoder_weights(
-            fuse_decoder_qkv(params, arch.head_dim))
+            fuse_decoder_qkv(params, arch.head_dim), bits=W_BITS)
     heads = tuple(((2 + 2 * i) % arch.decoder_layers,
                    i % arch.decoder_attention_heads)
                   for i in range(N_ALIGN_HEADS))

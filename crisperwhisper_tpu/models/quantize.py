@@ -67,15 +67,48 @@ def fuse_decoder_qkv(params: Params, head_dim: int) -> Params:
     return {**params, "decoder": dec}
 
 
-def quantize_decoder_weights(params: Params) -> Params:
-    """Return params with the decoder's dense weights int8-quantized."""
+def _quantize_dense_int4_grouped(p: Params, group_size: int = 128) -> Params:
+    """GROUP-WISE int4: per-(128-input-channel-group, output-channel)
+    scales. Plain per-channel int4 loses too much weight precision; group
+    scales recover most of it while still halving the per-step weight
+    read vs int8. Layout: w_q4 [(L,) G, gsz, d_out] + w_gscale
+    [(L,) G, d_out]; models/whisper.dense contracts per group and applies
+    the scales on the [.., G, d_out] partials (tiny vs the weight read).
+
+    Backend caveat (measured 2026-08, axon/v5e): s4 arrays cannot be
+    passed as jit ARGUMENTS on the axon backend — device_put of an s4
+    array that needs relayout hits a "Recursively calling jit"
+    RecursionError (even for arrays produced by a jitted program). int4
+    weights therefore work (a) on CPU, and (b) on TPU only when the
+    quantization runs INSIDE the same jitted program as the consumer.
+    The int4 CROSS/SELF caches are unaffected (created in-graph). Serving
+    default stays int8 weights."""
+    w = p["w"].astype(jnp.float32)
+    *lead, d_in, d_out = w.shape
+    group_size = min(group_size, d_in)
+    assert d_in % group_size == 0, (d_in, group_size)
+    g = d_in // group_size
+    wg = w.reshape(*lead, g, group_size, d_out)
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    w_q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int4)
+    out = {"w_q4": w_q, "w_gscale": scale[..., 0, :].astype(jnp.bfloat16)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_decoder_weights(params: Params, bits: int = 8) -> Params:
+    """Return params with the decoder's dense weights quantized (int8
+    per-output-channel, or bits=4 for group-wise int4)."""
+    quant = (_quantize_dense if bits == 8 else _quantize_dense_int4_grouped)
     dec = dict(params["decoder"])
     layers = dict(dec["layers"])
     for group in ("self", "cross", "mlp"):
         sub = dict(layers[group])
         for name, p in sub.items():
             if isinstance(p, dict) and "w" in p:
-                sub[name] = _quantize_dense(p)
+                sub[name] = quant(p)
         layers[group] = sub
     dec["layers"] = layers
     return {**params, "decoder": dec}

@@ -63,6 +63,18 @@ def dense(x: jax.Array, p: Params) -> jax.Array:
         y = jnp.einsum("...i,io->...o", x, p["w_q"].astype(x.dtype),
                        preferred_element_type=x.dtype)
         y = y * p["w_scale"].astype(y.dtype)
+    elif "w_q4" in p:
+        # group-wise int4 ({"w_q4": [G, gsz, d_out], "w_gscale":
+        # [G, d_out]}): contract per input-channel group, then fold the
+        # per-group scales on the [.., G, d_out] partials
+        g, gsz, _ = p["w_q4"].shape
+        xg = x.reshape(*x.shape[:-1], g, gsz)
+        part = jnp.einsum("...gi,gio->...go", xg,
+                          p["w_q4"].astype(x.dtype),
+                          preferred_element_type=x.dtype)
+        y = jnp.einsum("...go,go->...o", part,
+                       p["w_gscale"].astype(x.dtype),
+                       preferred_element_type=x.dtype)
     else:
         y = jnp.einsum("...i,io->...o", x, p["w"],
                        preferred_element_type=x.dtype)
@@ -344,7 +356,8 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
                 align_sel: jax.Array | None = None,
                 key_mask: jax.Array | None = None,
                 beam_groups: int = 1,
-                align_dtype: jnp.dtype = jnp.float32
+                align_dtype: jnp.dtype = jnp.float32,
+                ablate: frozenset[str] = frozenset()
                 ) -> tuple[jax.Array, DecoderCache, jax.Array]:
     """One incremental decoder step.
 
@@ -364,6 +377,12 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         beams ride the cross-attention as extra query positions, so the
         encoder K/V is never expanded per beam (the reference expands it,
         hf generation expand_inputs; this saves NBx cross-cache memory).
+      ablate: PERF-DIAGNOSTIC ONLY — sublayers to skip, any of
+        {"self", "cross", "mlp", "lmhead"}. Skipped sublayers contribute
+        nothing (their HBM traffic disappears); outputs keep their shapes
+        and stay data-dependent on the remaining compute so XLA cannot
+        dead-code the loop. Used by scripts/dec_split_bench.py to
+        attribute per-step decode cost. Never set in serving paths.
     Returns:
       (logits [B, vocab] f32, new cache, align_probs [B, A, 1500] f32 —
        zeros when align_sel is None).
@@ -425,76 +444,89 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         else:
             hidden, self_k, self_v = carry
         li, lp, layer_cross_k, layer_cross_v, kv_scales, sel = layer_in
-        # --- self-attention against the ring cache (sequence-last)
-        y = layer_norm(hidden, lp["ln1"])
-        q, k_new, v_new = _self_qkv(y, lp["self"], h, scale)
-        # k_new/v_new: [B, H, 1, Dh] -> column [B, H, Dh, 1] at `position`
-        k_col = jnp.swapaxes(k_new, -1, -2)
-        v_col = jnp.swapaxes(v_new, -1, -2)
-        if self_quant:
-            # quantize the new column over Dh; per-position scales are
-            # folded outside the dots exactly like the cross cache
-            k_col, k_sc = _quantize(k_col.astype(jnp.float32), -2,
-                                    self_qmax, self_k.dtype)
-            v_col, v_sc = _quantize(v_col.astype(jnp.float32), -2,
-                                    self_qmax, self_v.dtype)
-            self_ks = jax.lax.dynamic_update_slice(
-                self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
-            self_vs = jax.lax.dynamic_update_slice(
-                self_vs, v_sc[None, :, :, 0, :], (li, 0, 0, position))
+        if "self" not in ablate:
+            # --- self-attention against the ring cache (sequence-last)
+            y = layer_norm(hidden, lp["ln1"])
+            q, k_new, v_new = _self_qkv(y, lp["self"], h, scale)
+            # k_new/v_new: [B, H, 1, Dh] -> column [B, H, Dh, 1] at
+            # `position`
+            k_col = jnp.swapaxes(k_new, -1, -2)
+            v_col = jnp.swapaxes(v_new, -1, -2)
+            if self_quant:
+                # quantize the new column over Dh; per-position scales are
+                # folded outside the dots exactly like the cross cache
+                k_col, k_sc = _quantize(k_col.astype(jnp.float32), -2,
+                                        self_qmax, self_k.dtype)
+                v_col, v_sc = _quantize(v_col.astype(jnp.float32), -2,
+                                        self_qmax, self_v.dtype)
+                self_ks = jax.lax.dynamic_update_slice(
+                    self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
+                self_vs = jax.lax.dynamic_update_slice(
+                    self_vs, v_sc[None, :, :, 0, :], (li, 0, 0, position))
+            else:
+                k_col = k_col.astype(dtype)
+                v_col = v_col.astype(dtype)
+            self_k = jax.lax.dynamic_update_slice(
+                self_k, k_col[None], (li, 0, 0, 0, position))
+            self_v = jax.lax.dynamic_update_slice(
+                self_v, v_col[None], (li, 0, 0, 0, position))
+            k_all = jax.lax.dynamic_index_in_dim(self_k, li, 0,
+                                                 keepdims=False)
+            v_all = jax.lax.dynamic_index_in_dim(self_v, li, 0,
+                                                 keepdims=False)
+            if self_quant:
+                attn_out, _ = seq_last_attention(
+                    q, k_all, v_all, self_mask,
+                    k_scale=jax.lax.dynamic_index_in_dim(
+                        self_ks, li, 0, keepdims=False),
+                    v_scale=jax.lax.dynamic_index_in_dim(
+                        self_vs, li, 0, keepdims=False))
+            else:
+                attn_out, _ = seq_last_attention(q, k_all, v_all, self_mask)
+            hidden = hidden + dense(_merge_heads(attn_out), lp["self"]["o"])
+        if "cross" not in ablate:
+            # --- cross-attention against cached encoder K/V
+            y = layer_norm(hidden, lp["ln2"])
+            qc = _split_heads(dense(y, lp["cross"]["q"]) * scale, h)
+            if beam_groups > 1:
+                # [B, H, 1, Dh] -> [B/NB, H, NB, Dh]: beams share the
+                # item's K/V as extra query rows
+                b0 = b // beam_groups
+                qc = jnp.swapaxes(
+                    qc[:, :, 0, :].reshape(b0, beam_groups, h,
+                                           arch.head_dim),
+                    1, 2)
+            cross_out, probs_full = seq_last_attention(
+                qc, layer_cross_k, layer_cross_v,
+                k_scale=kv_scales[0] if quantized else None,
+                v_scale=kv_scales[1] if quantized else None)
+            cross_out = cross_out.astype(hidden.dtype)
+            if beam_groups > 1:
+                # [B/NB, H, NB, Dh] -> [B, H, 1, Dh]; probs likewise
+                cross_out = jnp.swapaxes(cross_out, 1, 2).reshape(
+                    b, h, 1, arch.head_dim)
+                probs_row = jnp.swapaxes(probs_full, 1, 2).reshape(
+                    b, h, probs_full.shape[-1])
+            else:
+                probs_row = probs_full[:, :, 0, :]
+            hidden = hidden + dense(_merge_heads(cross_out), lp["cross"]["o"])
+            # in-graph alignment-head selection: [B,H,K] x [H,A] -> [B,A,K].
+            # Stacked in align_dtype (bf16 in serving): the selector is
+            # one-hot, so each align head has EXACTLY ONE contributing layer
+            # and the cross-layer sum below is exact in any dtype — stacking
+            # bf16 halves this per-step scan-output traffic.
+            aligned = jnp.einsum("bhk,ha->bak", probs_row, sel,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(align_dtype)
         else:
-            k_col = k_col.astype(dtype)
-            v_col = v_col.astype(dtype)
-        self_k = jax.lax.dynamic_update_slice(
-            self_k, k_col[None], (li, 0, 0, 0, position))
-        self_v = jax.lax.dynamic_update_slice(
-            self_v, v_col[None], (li, 0, 0, 0, position))
-        k_all = jax.lax.dynamic_index_in_dim(self_k, li, 0, keepdims=False)
-        v_all = jax.lax.dynamic_index_in_dim(self_v, li, 0, keepdims=False)
-        if self_quant:
-            attn_out, _ = seq_last_attention(
-                q, k_all, v_all, self_mask,
-                k_scale=jax.lax.dynamic_index_in_dim(
-                    self_ks, li, 0, keepdims=False),
-                v_scale=jax.lax.dynamic_index_in_dim(
-                    self_vs, li, 0, keepdims=False))
-        else:
-            attn_out, _ = seq_last_attention(q, k_all, v_all, self_mask)
-        hidden = hidden + dense(_merge_heads(attn_out), lp["self"]["o"])
-        # --- cross-attention against cached encoder K/V
-        y = layer_norm(hidden, lp["ln2"])
-        qc = _split_heads(dense(y, lp["cross"]["q"]) * scale, h)
-        if beam_groups > 1:
-            # [B, H, 1, Dh] -> [B/NB, H, NB, Dh]: beams share the item's
-            # K/V as extra query rows
-            b0 = b // beam_groups
-            qc = jnp.swapaxes(
-                qc[:, :, 0, :].reshape(b0, beam_groups, h, arch.head_dim),
-                1, 2)
-        cross_out, probs_full = seq_last_attention(
-            qc, layer_cross_k, layer_cross_v,
-            k_scale=kv_scales[0] if quantized else None,
-            v_scale=kv_scales[1] if quantized else None)
-        cross_out = cross_out.astype(hidden.dtype)
-        if beam_groups > 1:
-            # [B/NB, H, NB, Dh] -> [B, H, 1, Dh]; probs likewise
-            cross_out = jnp.swapaxes(cross_out, 1, 2).reshape(
-                b, h, 1, arch.head_dim)
-            probs_row = jnp.swapaxes(probs_full, 1, 2).reshape(
-                b, h, probs_full.shape[-1])
-        else:
-            probs_row = probs_full[:, :, 0, :]
-        hidden = hidden + dense(_merge_heads(cross_out), lp["cross"]["o"])
-        # in-graph alignment-head selection: [B,H,K] x [H,A] -> [B,A,K].
-        # Stacked in align_dtype (bf16 in serving): the selector is
-        # one-hot, so each align head has EXACTLY ONE contributing layer
-        # and the cross-layer sum below is exact in any dtype — stacking
-        # bf16 halves this per-step scan-output traffic.
-        aligned = jnp.einsum("bhk,ha->bak", probs_row, sel,
-                             preferred_element_type=jnp.float32
-                             ).astype(align_dtype)
-        # --- MLP
-        hidden = hidden + mlp_block(layer_norm(hidden, lp["ln3"]), lp["mlp"])
+            # keep a data dependency on `hidden` so the loop can't be DCE'd
+            aligned = (hidden[:, :1, 0] * 0).astype(align_dtype)[:, :, None] \
+                + jnp.zeros((b, n_align, cache.cross_k.shape[-1]),
+                            align_dtype)
+        if "mlp" not in ablate:
+            # --- MLP
+            hidden = hidden + mlp_block(layer_norm(hidden, lp["ln3"]),
+                                        lp["mlp"])
         if self_quant:
             return (hidden, self_k, self_v, self_ks, self_vs), aligned
         return (hidden, self_k, self_v), aligned
@@ -517,9 +549,16 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         x, new_k, new_v = final_carry
 
     x = layer_norm(x, dec["ln"])
-    # weight-tied LM head (modeling_whisper.py:1168)
-    logits = jnp.einsum("bd,vd->bv", x[:, 0, :], dec["tok_emb"].astype(dtype),
-                        preferred_element_type=jnp.float32)
+    if "lmhead" in ablate:
+        # diagnostic: skip the [d, vocab] tok_emb read but keep the
+        # logits data-dependent on the decoder output
+        logits = jnp.pad(x[:, 0, :].astype(jnp.float32),
+                         ((0, 0), (0, arch.vocab_size - x.shape[-1])))
+    else:
+        # weight-tied LM head (modeling_whisper.py:1168)
+        logits = jnp.einsum("bd,vd->bv", x[:, 0, :],
+                            dec["tok_emb"].astype(dtype),
+                            preferred_element_type=jnp.float32)
     align_probs = jnp.sum(aligned, axis=0)            # [B, A, 1500]
     if align_probs.dtype != jnp.float32:
         align_probs = align_probs.astype(jnp.float32)

@@ -5,7 +5,8 @@ attribute the per-step budget: cross-KV dtype, self-KV dtype, alignment
 capture on/off. Complements scripts/enc_bench.py.
 
 Usage: python scripts/dec_bench.py [batch] [n_tokens]
-Env: VARIANTS comma list of names below (default all), ITERS.
+Env: VARIANTS comma list of names below (default all), ITERS,
+W ("int8"|"int4"|"bf16" decoder weight quantization).
 """
 
 import os
@@ -46,7 +47,10 @@ def main():
     arch = WhisperArch.large_v3()
     sp = SpecialTokens()
     params = init_params(arch, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    params = quantize_decoder_weights(fuse_decoder_qkv(params, arch.head_dim))
+    w_bits = {"int8": 8, "int4": 4, "bf16": 0}[os.environ.get("W", "int8")]
+    if w_bits:
+        params = quantize_decoder_weights(
+            fuse_decoder_qkv(params, arch.head_dim), bits=w_bits)
     heads = tuple(((2 + 2 * i) % arch.decoder_layers,
                    i % arch.decoder_attention_heads) for i in range(15))
     align_sel = jnp.asarray(alignment_selector(arch, heads))
