@@ -161,6 +161,23 @@ def params_from_state_dict(state: Mapping[str, np.ndarray], arch: WhisperArch,
     return cast_tree(tree)
 
 
+def classification_head_from_state_dict(state: Mapping[str, np.ndarray],
+                                        dtype: jnp.dtype = jnp.float32
+                                        ) -> Params:
+    """WhisperForAudioClassification head tensors -> the head pytree for
+    `audio_classification_forward` (ref: hf modeling_whisper.py:1500).
+    Converts the torch nn.Linear [out, in] layout of `projector.*` /
+    `classifier.*` to our [in, out] {w, b} entries."""
+    def lin(prefix: str) -> Params:
+        w = np.asarray(state[f"{prefix}.weight"])
+        p: Params = {"w": jnp.asarray(np.ascontiguousarray(w.T), dtype)}
+        if f"{prefix}.bias" in state:
+            p["b"] = jnp.asarray(np.asarray(state[f"{prefix}.bias"]), dtype)
+        return p
+
+    return {"projector": lin("projector"), "classifier": lin("classifier")}
+
+
 def _iter_safetensor_files(model_dir: str) -> Iterable[str]:
     index = os.path.join(model_dir, "model.safetensors.index.json")
     if os.path.exists(index):

@@ -52,6 +52,34 @@ def test_audio_classification_head():
     assert np.isfinite(logits).all()
 
 
+def test_audio_classification_hf_parity():
+    """Full parity vs transformers WhisperForAudioClassification
+    (modeling_whisper.py:1500): encoder -> projector -> mean-pool ->
+    classifier, with weights converted from the torch checkpoint."""
+    import torch
+    from transformers import WhisperConfig, WhisperForAudioClassification
+    from helpers import TINY
+    from crisperwhisper_tpu.models import classification_head_from_state_dict
+
+    cfg = WhisperConfig(**TINY, num_labels=5)
+    torch.manual_seed(3)
+    tm = WhisperForAudioClassification(cfg)
+    tm.eval()
+    mel = rand_mel(batch=2, seed=11)
+    with torch.no_grad():
+        golden = tm(input_features=torch.from_numpy(mel)).logits.numpy()
+
+    sd = state_dict_numpy(tm)
+    arch = tiny_arch()
+    params = params_from_state_dict(
+        {k: v for k, v in sd.items() if k.startswith("encoder.")}, arch,
+        dtype=jnp.float32)
+    head = classification_head_from_state_dict(sd)
+    ours = np.asarray(audio_classification_forward(
+        params, arch, jnp.asarray(mel), head))
+    np.testing.assert_allclose(ours, golden, atol=2e-4, rtol=1e-4)
+
+
 def test_zero_mean_unit_var_norm():
     from crisperwhisper_tpu.audio.mel import zero_mean_unit_var_norm
     rng = np.random.default_rng(0)
