@@ -482,7 +482,8 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
                     v_scale=jax.lax.dynamic_index_in_dim(
                         self_vs, li, 0, keepdims=False))
             else:
-                attn_out, _ = seq_last_attention(q, k_all, v_all, self_mask)
+                attn_out, _ = seq_last_attention(q, k_all, v_all,
+                                                 self_mask)
             hidden = hidden + dense(_merge_heads(attn_out), lp["self"]["o"])
         if "cross" not in ablate:
             # --- cross-attention against cached encoder K/V
