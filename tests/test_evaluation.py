@@ -2,6 +2,10 @@
 
 import numpy as np
 
+from crisperwhisper_tpu.utils.evaluation import (
+    SegmentationResult, align_matched_words, chunks_to_words,
+    segmentation_scores, word_error_rate)
+
 
 def test_wer_basics():
     from crisperwhisper_tpu.utils.evaluation import wer
@@ -47,3 +51,77 @@ def test_compute_offsets_matches_hf(tmp_path):
     for g, o in zip(golden, got):
         assert o["text"] == g["text"]
         assert tuple(o["timestamp"]) == tuple(g["timestamp"])
+
+
+# --- alignment-based API ---
+
+
+def test_wer_counts():
+    r = word_error_rate("a b c", "a x c")
+    assert (r.wer, r.substitutions, r.deletions, r.insertions) == \
+        (1 / 3, 1, 0, 0)
+    r = word_error_rate("a b c", "a c")
+    assert (r.wer, r.deletions) == (1 / 3, 1)
+    r = word_error_rate("a b c", "a b x c")
+    assert (r.wer, r.insertions) == (1 / 3, 1)
+    assert word_error_rate("a b c", "a b c").wer == 0.0
+    assert word_error_rate("", "x y").insertions == 2
+    # classic mixed case: ref 5 words, 1 sub + 1 del + 1 ins
+    r = word_error_rate("the quick brown fox jumps",
+                        "the quack brown jumps over")
+    assert r.num_ref_words == 5
+    assert r.wer == (r.substitutions + r.deletions + r.insertions) / 5
+    assert r.wer == 3 / 5
+
+
+def test_wer_with_normalizer():
+    from crisperwhisper_tpu.tokenizer.normalizers import \
+        EnglishTextNormalizer
+    norm = EnglishTextNormalizer()
+    r = word_error_rate("It's twenty-two, okay?", "it is 22 okay",
+                        normalizer=norm)
+    assert r.wer == 0.0, r
+
+
+def test_align_matched_words():
+    pairs = align_matched_words(["a", "b", "c", "d"], ["a", "x", "c"])
+    assert pairs == [(0, 0), (2, 2)]
+
+
+def test_segmentation_exact_match():
+    words = [("hello", 0.0, 0.4), ("world", 0.5, 0.9)]
+    s = segmentation_scores(words, words, collar=0.05)
+    assert s == SegmentationResult(1.0, 1.0, 1.0, 1.0, 2, 2)
+
+
+def test_segmentation_collar_and_iou():
+    ref = [("a", 0.0, 1.0), ("b", 2.0, 3.0)]
+    hyp = [("a", 0.04, 1.04),      # within 50 ms collar, IOU 0.96/1.04
+           ("b", 2.2, 3.2)]        # outside collar, IOU 0.8/1.2
+    s = segmentation_scores(ref, hyp, collar=0.05)
+    assert s.true_positives == 1 and s.matched == 2
+    assert s.precision == 0.5 and s.recall == 0.5 and s.f1 == 0.5
+    np.testing.assert_allclose(
+        s.avg_iou, ((0.96 / 1.04) + (0.8 / 1.2)) / 2, atol=1e-9)
+
+
+def test_segmentation_insertions_hurt_precision():
+    ref = [("a", 0.0, 1.0)]
+    hyp = [("a", 0.0, 1.0), ("zz", 1.0, 2.0)]
+    s = segmentation_scores(ref, hyp, collar=0.05)
+    assert s.precision == 0.5 and s.recall == 1.0
+
+
+def test_segmentation_normalize_word():
+    ref = [("Hello,", 0.0, 1.0)]
+    hyp = [("hello", 0.0, 1.0)]
+    s = segmentation_scores(
+        ref, hyp, normalize_word=lambda w: w.lower().strip(",.?!"))
+    assert s.true_positives == 1
+
+
+def test_chunks_adapter():
+    chunks = [{"text": " hi", "timestamp": (0.0, 0.5)},
+              {"text": " there", "timestamp": (0.6, 1.0)}]
+    assert chunks_to_words(chunks) == [("hi", 0.0, 0.5),
+                                       ("there", 0.6, 1.0)]
