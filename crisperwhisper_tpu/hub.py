@@ -57,21 +57,33 @@ def load_pipeline(model_dir: str, *,
                   language: str | None = None,
                   median_filter_width: int | None = None,
                   sharding: Any | None = None,
+                  mesh: Any | None = None,
                   quantize: bool = False) -> ASRPipeline:
     """Build the full ASR pipeline from a local checkpoint directory —
     the one-call equivalent of ref:transcribe.py:8-31.
 
     quantize=True enables the serving quantizations: weight-only int8 on
     the decoder and the int8 cross-KV cache (~25% faster decode, halved
-    cache memory; small logit perturbation)."""
+    cache memory; small logit perturbation).
+
+    mesh: a jax.sharding.Mesh ("data", "model") for multi-chip serving —
+    params are tensor-parallel-sharded over "model"
+    (parallel/mesh.param_pspecs) and every chunk batch is sharded over
+    "data"; pipe_opts.batch_size must be a multiple of the data axis.
+    Mutually exclusive with the lower-level `sharding` pytree."""
     cfgs = load_checkpoint_configs(model_dir)
     arch = WhisperArch.from_hf_config(cfgs["config"])
+    if mesh is not None and sharding is not None:
+        raise ValueError("pass either mesh= or sharding=, not both")
     params, _ = load_params(model_dir, arch, dtype=dtype, sharding=sharding)
     if quantize:
         from .models.quantize import (fuse_decoder_qkv,
                                       quantize_decoder_weights)
         params = quantize_decoder_weights(
             fuse_decoder_qkv(params, arch.head_dim))
+    if mesh is not None:
+        from .parallel import shard_params
+        params = shard_params(params, mesh)
     tokenizer = WhisperTokenizer.from_dir(model_dir)
 
     opts = gen_opts or load_generation_options(cfgs["generation_config"])
@@ -99,7 +111,7 @@ def load_pipeline(model_dir: str, *,
     specials = specials_from_tokenizer(tokenizer)
     pipe = ASRPipeline(params, arch, tokenizer, specials=specials,
                        gen_opts=opts, pipe_opts=pipe_opts,
-                       feat_cfg=feat_cfg)
+                       feat_cfg=feat_cfg, mesh=mesh)
     if language is None and cfgs["generation_config"].get("is_multilingual"):
         pipe.detect_language = True
     return pipe

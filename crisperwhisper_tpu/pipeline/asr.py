@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Iterable, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,7 +68,13 @@ class ASRPipeline:
                  specials: SpecialTokens | None = None,
                  gen_opts: GenerationOptions = GenerationOptions(),
                  pipe_opts: PipelineOptions = PipelineOptions(),
-                 feat_cfg: FeatureConfig | None = None):
+                 feat_cfg: FeatureConfig | None = None,
+                 mesh: Any | None = None):
+        """mesh: optional jax.sharding.Mesh ("data", "model") — serve the
+        pipeline multi-chip: params are expected TP-sharded over "model"
+        (parallel/mesh.shard_params; hub.load_pipeline(mesh=...) does it)
+        and each chunk batch is device_put sharded over "data". The
+        reference has no multi-device serving at all (SURVEY.md §2.8)."""
         self.params = params
         self.arch = arch
         self.tokenizer = tokenizer
@@ -76,6 +83,13 @@ class ASRPipeline:
         self.pipe_opts = pipe_opts
         self.feat_cfg = feat_cfg or FeatureConfig(
             feature_size=arch.num_mel_bins)
+        self.mesh = mesh
+        if mesh is not None:
+            data = mesh.shape["data"]
+            if pipe_opts.batch_size % data:
+                raise ValueError(
+                    f"batch_size {pipe_opts.batch_size} must be a multiple "
+                    f"of the mesh data axis ({data})")
         from ..utils.tracing import RTFMeter
         self.meter = RTFMeter()
         # auto language detection for multilingual checkpoints when no
@@ -161,13 +175,24 @@ class ASRPipeline:
             # pad the tail group to the full static batch (dummy rows are
             # dropped below) — ONE compiled program serves every group
             gb = bs if len(chunks) > bs else len(group)
+            if self.mesh is not None:
+                # batch dim is sharded over "data": round up so every
+                # device gets equal rows
+                data = self.mesh.shape["data"]
+                gb = -(-gb // data) * data
             batch = np.zeros((gb, n_samples), np.float32)
             num_frames = np.full((gb,), n_samples // self.feat_cfg.hop_length,
                                  np.int64)
             for i, c in enumerate(group):
                 batch[i, :len(c.samples)] = c.samples
                 num_frames[i] = len(c.samples) // self.feat_cfg.hop_length
-            feats = extract_features(jnp.asarray(batch), self.feat_cfg)
+            if self.mesh is not None:
+                from ..parallel import data_sharding
+                batch_j = jax.device_put(batch,
+                                         data_sharding(self.mesh))
+            else:
+                batch_j = jnp.asarray(batch)
+            feats = extract_features(batch_j, self.feat_cfg)
             lang_tok = self._language_token()
             gen = generate(self.params, self.arch, self.specials, opts,
                            feats, num_frames=num_frames,

@@ -58,3 +58,67 @@ def test_sharded_decode_matches_single_device(mesh):
                                   np.asarray(out.sequences))
     np.testing.assert_allclose(np.asarray(ref.sum_logprobs),
                                np.asarray(out.sum_logprobs), atol=1e-4)
+
+
+def test_pipeline_sharded_matches_unsharded(mesh, tmp_path_factory):
+    """The USER-FACING pipeline served over the mesh (TP params + data-
+    sharded chunk batches, hub.load_pipeline(mesh=...) wiring) must give
+    identical transcripts + word timestamps to single-device serving."""
+    import sys
+    sys.path.insert(0, "tests")
+    from vocab_fixture import build_model_vocab_dir, our_tokenizer
+    from helpers import state_dict_numpy, torch_tiny_model
+    from crisperwhisper_tpu.config import PipelineOptions, FeatureConfig
+    from crisperwhisper_tpu.models import params_from_state_dict
+    from crisperwhisper_tpu.pipeline.asr import ASRPipeline
+
+    vocab_dir = str(tmp_path_factory.mktemp("mesh_vocab"))
+    build_model_vocab_dir(vocab_dir)
+    tm = torch_tiny_model(seed=0)
+    params = params_from_state_dict(state_dict_numpy(tm), tiny_arch(),
+                                    dtype=jnp.float32)
+    tok = our_tokenizer(vocab_dir)
+    gen_opts = GenerationOptions(
+        alignment_heads=((0, 1), (1, 3), (0, 2)), median_filter_width=7,
+        max_initial_timestamp_index=50, compression_ratio_threshold=None,
+        logprob_threshold=None, no_speech_threshold=None,
+        temperatures=(0.0,), max_new_tokens=16)
+    pipe_opts = PipelineOptions(chunk_length_s=5, batch_size=2,
+                                return_timestamps="word")
+    feat_cfg = FeatureConfig(feature_size=80, chunk_length=5)
+
+    def build(mesh_arg, p):
+        return ASRPipeline(p, tiny_arch(), tok, specials=TINY_SPECIALS,
+                           gen_opts=gen_opts, pipe_opts=pipe_opts,
+                           feat_cfg=feat_cfg, mesh=mesh_arg)
+
+    rng = np.random.default_rng(5)
+    t = np.arange(11 * 16000) / 16000.0
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)
+             + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+
+    ref = build(None, params)(audio, return_timestamps="word")
+    got = build(mesh, shard_params(params, mesh))(audio,
+                                                  return_timestamps="word")
+    assert got["text"] == ref["text"]
+    assert len(got["chunks"]) == len(ref["chunks"])
+    for a, b in zip(ref["chunks"], got["chunks"]):
+        assert a["text"] == b["text"]
+        np.testing.assert_allclose(a["timestamp"], b["timestamp"],
+                                   atol=1e-4)
+
+
+def test_pipeline_mesh_batch_size_validation(mesh):
+    from crisperwhisper_tpu.config import PipelineOptions
+    from crisperwhisper_tpu.pipeline.asr import ASRPipeline
+    from crisperwhisper_tpu.models import init_params
+    import pytest as _pytest
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+
+    class _Tok:                       # tokenizer unused before validation
+        pass
+
+    with _pytest.raises(ValueError, match="multiple"):
+        ASRPipeline(params, arch, None, specials=TINY_SPECIALS,
+                    pipe_opts=PipelineOptions(batch_size=3), mesh=mesh)
