@@ -14,8 +14,11 @@ per committed token drops by ~the mean accepted-window length.
 
 Exactness contract (tested): for ANY draft, greedy assisted output ==
 greedy_decode output (sequences, logprobs, alignment rows, no-speech).
-Like the reference (generation/utils.py assisted path), batch_size == 1
-and greedy only.
+Greedy only, like the reference — but BATCHED (the reference's assisted
+path is batch_size == 1, generation/utils.py candidate generators): each
+row keeps its own committed length, the draft chain and the verify block
+run at per-row cache positions (models/whisper decode_step /
+decode_step_multi position vectors), and rows accept independently.
 
 Draft model requirements: any Whisper decoder (same tokenizer); it runs
 against its own encoder output (same audio, its own geometry — pass
@@ -53,9 +56,6 @@ def assisted_decode(params: Any, arch: WhisperArch,
                     prompt_mask: jax.Array | None = None,
                     sot_position: int = 0) -> DecodeResult:
     b, p = prompt.shape
-    if b != 1:
-        raise ValueError("assisted decoding requires batch_size == 1 "
-                         "(matching the reference's assisted generation)")
     s = spec_len
     k_frames = encoder_out.shape[1]
     t_total = p + max_new_tokens
@@ -103,12 +103,14 @@ def assisted_decode(params: Any, arch: WhisperArch,
         return process_scores(logits, state, specials, opts, suppress_mask,
                               begin_suppress_mask, return_timestamps)
 
+    rows = jnp.arange(b)
+
     def cond(c):
-        (tokens, length, state, finished, *_rest) = c
-        return (length < t_total) & ~jnp.all(finished)
+        (tokens, lengths, state, finished, *_rest) = c
+        return jnp.any(~finished & (lengths < t_total))
 
     def body(c):
-        (tokens, length, state, finished, sum_lp, no_speech, align_buf,
+        (tokens, lengths, state, finished, sum_lp, no_speech, align_buf,
          self_k, self_v, self_ks, self_vs, d_self_k, d_self_v) = c
         mcache = cache._replace(self_k=self_k, self_v=self_v,
                                 self_k_scale=self_ks, self_v_scale=self_vs)
@@ -119,38 +121,38 @@ def assisted_decode(params: Any, arch: WhisperArch,
             dc_k, dc_v, dstate, tok = carry
             dc = draft_cache._replace(self_k=dc_k, self_v=dc_v)
             lgt, dc, _ = decode_step(draft_params, draft_arch, tok,
-                                     length - 1 + i, dc,
+                                     lengths - 1 + i, dc,
                                      key_mask=key_mask)
             nxt = jnp.argmax(proc(lgt, dstate), axis=-1).astype(jnp.int32)
             return (dc.self_k, dc.self_v, dstate.update(nxt, ts_begin),
                     nxt), nxt
 
-        feed0 = jax.lax.dynamic_index_in_dim(tokens, length - 1, 1,
-                                             keepdims=False)
+        feed0 = jnp.take_along_axis(tokens, lengths[:, None] - 1,
+                                    axis=1)[:, 0]
         (d_self_k, d_self_v, _, _), drafts = jax.lax.scan(
             draft_body, (dcache.self_k, dcache.self_v, state, feed0),
             jnp.arange(s))
-        drafts = drafts[:, 0]                          # [S] (batch == 1)
+        drafts = jnp.swapaxes(drafts, 0, 1)            # [B, S]
 
         # ---- verify: ONE multi-token step over [tok[L-1], d_1..d_{S-1}] --
-        block = jnp.concatenate([feed0[:, None], drafts[None, :s - 1]],
+        block = jnp.concatenate([feed0[:, None], drafts[:, :s - 1]],
                                 axis=1) if s > 1 else feed0[:, None]
         logits, mcache, align = decode_step_multi(
-            params, arch, block, length - 1, mcache, align_sel=align_sel,
+            params, arch, block, lengths - 1, mcache, align_sel=align_sel,
             key_mask=key_mask,
-            align_dtype=align_dtype)        # [1, S, V], [1, A, S, K]
+            align_dtype=align_dtype)        # [B, S, V], [B, A, S, K]
 
-        # ---- sequential accept over the block ----
+        # ---- sequential accept over the block (vectorized over rows) ----
         def ver_body(carry, i):
             vstate, alive, fin, lp_acc, ns = carry
             lg = logits[:, i]
             scores = proc(lg, vstate)
             tgt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-            commit = alive & ~fin & (length + i < t_total)
+            commit = alive & ~fin & (lengths + i < t_total)
             lp = (jnp.take_along_axis(scores, tgt[:, None], axis=-1)[:, 0]
                   - jax.nn.logsumexp(scores, axis=-1))
             lp_acc = lp_acc + jnp.where(commit, lp, 0.0)
-            ns = jnp.where((length - 1 + i) == sot_position,
+            ns = jnp.where((lengths - 1 + i) == sot_position,
                            jnp.exp(lg[:, specials.no_speech]
                                    - jax.nn.logsumexp(lg, axis=-1)), ns)
             new_state = vstate.update(tgt, ts_begin)
@@ -158,9 +160,9 @@ def assisted_decode(params: Any, arch: WhisperArch,
                 lambda new, old: jnp.where(commit, new, old),
                 new_state, vstate)
             fin = fin | (commit & (tgt == eot))
-            # chain survives to row i+1 iff row i's target equals row
-            # i+1's input, which is draft d_{i+1} = drafts[i]
-            alive = commit & (tgt == drafts[i]) & (i + 1 < s)
+            # a row's chain survives to block row i+1 iff its target
+            # equals its own next input, which is draft d_{i+1}
+            alive = commit & (tgt == drafts[:, i]) & (i + 1 < s)
             return (vstate, alive, fin, lp_acc, ns), (tgt, commit)
 
         (state, _, finished, sum_lp, no_speech), (tgts, commits) = (
@@ -168,41 +170,40 @@ def assisted_decode(params: Any, arch: WhisperArch,
                          (state, jnp.ones((b,), bool), finished, sum_lp,
                           no_speech),
                          jnp.arange(s)))
-        tgts = tgts[:, 0]                              # [S]
-        commits = commits[:, 0]                        # [S]
-        n_new = jnp.sum(commits.astype(jnp.int32))
+        tgts = jnp.swapaxes(tgts, 0, 1)                # [B, S]
+        commits = jnp.swapaxes(commits, 0, 1)          # [B, S]
+        n_new = jnp.sum(commits.astype(jnp.int32), axis=1)   # [B]
 
-        # ---- commit tokens (uncommitted slots hold eot; overwritten by a
-        # later window) ----
+        # ---- commit tokens at per-row offsets (uncommitted slots hold
+        # eot; overwritten by a later window) ----
         block_new = jnp.where(commits, tgts, eot)
-        tokens = jax.lax.dynamic_update_slice(tokens, block_new[None],
-                                              (0, length))
+        slot = lengths[:, None] + jnp.arange(s)[None, :]     # [B, S]
+        tokens = tokens.at[rows[:, None], slot].set(block_new)
 
         # ---- record alignment rows for committed input queries ----
-        # row i is the query at input position length-1+i; its input token
-        # is committed exactly when commits[i] (the chain reached row i),
-        # and it must be a generated token (>= p).
-        # slot = (length-1+i) - p + 1 (one leading junk slot).
-        row_pos = length - 1 + jnp.arange(s)
+        # block row i of batch row r is the query at input position
+        # lengths[r]-1+i; it is committed exactly when commits[r, i], and
+        # must be a generated token (>= p). align slot = position - p + 1
+        # (one leading junk slot).
+        row_pos = lengths[:, None] - 1 + jnp.arange(s)[None, :]
         row_committed = commits & (row_pos >= p)
-        base = length - p                              # slot of row 0 (+1-1)
-        old = jax.lax.dynamic_slice(align_buf, (0, 0, base, 0),
-                                    (b, n_align, s, k_frames))
-        merged = jnp.where(row_committed[None, None, :, None],
-                           align.astype(align_buf.dtype), old)
-        align_buf = jax.lax.dynamic_update_slice(align_buf, merged,
-                                                 (0, 0, base, 0))
+        base = (lengths - p)[:, None] + jnp.arange(s)[None, :]  # [B, S]
+        old = align_buf[rows[:, None], :, base]        # [B, S, A, K]
+        align_bsak = jnp.swapaxes(align.astype(align_buf.dtype), 1, 2)
+        merged = jnp.where(row_committed[:, :, None, None],
+                           align_bsak, old)
+        align_buf = align_buf.at[rows[:, None], :, base].set(merged)
 
-        return (tokens, length + n_new, state, finished, sum_lp, no_speech,
+        return (tokens, lengths + n_new, state, finished, sum_lp, no_speech,
                 align_buf, mcache.self_k, mcache.self_v,
                 mcache.self_k_scale, mcache.self_v_scale,
                 d_self_k, d_self_v)
 
-    init = (tokens0, jnp.int32(p), TimestampState.init(b),
+    init = (tokens0, jnp.full((b,), p, jnp.int32), TimestampState.init(b),
             jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32), no_speech0,
             align_buf0, cache.self_k, cache.self_v, cache.self_k_scale,
             cache.self_v_scale, draft_cache.self_k, draft_cache.self_v)
-    (tokens, length, state, finished, sum_lp, no_speech, align_buf,
+    (tokens, lengths, state, finished, sum_lp, no_speech, align_buf,
      *_rest) = jax.lax.while_loop(cond, body, init)
 
     return DecodeResult(

@@ -70,9 +70,10 @@ def _decode_window(params, arch, specials, opts, segment_features,
     length-normalized) — the quantity _need_fallback consumes (:1266)."""
     encoder_out = encode(params, arch, segment_features)
     use_beams = opts.num_beams > 1 and temperature == 0.0
+    # assisted runs at ANY batch size (per-row cache positions; beyond
+    # the reference's batch-1 assisted generation)
     use_assisted = (assistant is not None and not use_beams
-                    and temperature == 0.0
-                    and segment_features.shape[0] == 1)
+                    and temperature == 0.0)
     if use_assisted:
         # speculative path: the draft proposes, the main model verifies a
         # whole window per forward (hf assistant_model analog — exactness

@@ -363,8 +363,12 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
 
     Args:
       tokens: int32 [B] current input token per row.
-      position: scalar int32 — current position (same for all rows; prompts
-        are fed through the same step function).
+      position: scalar int32 — current position (same for all rows;
+        prompts are fed through the same step function) — OR int32 [B]
+        per-row positions (batched assisted decoding, where rows commit
+        different token counts per window). The scalar form keeps the
+        fast dynamic-update-slice cache write; the vector form scatters
+        each row's new K/V column at its own ring slot.
       cache: DecoderCache to read/update.
       align_sel: optional [L, H, A] one-hot alignment-head projector.
       key_mask: optional bool [B, cache_len] — positions a row may attend
@@ -397,13 +401,20 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     dtype = dec["tok_emb"].dtype if self_quant else cache.self_k.dtype
     self_qmax = 7.0 if cache.self_k.dtype == jnp.int4 else 127.0
 
+    position = jnp.asarray(position, jnp.int32)
+    vector_pos = position.ndim > 0                    # per-row positions
+
     x = dec["tok_emb"][tokens].astype(dtype)          # [B, d]
     x = x + dec["pos_emb"][position].astype(dtype)    # learned pos (:203-208)
     x = x[:, None, :]                                 # [B, 1, d]
 
     # causal mask over cache positions: attend to <= position
     pos_ids = jnp.arange(cache.self_k.shape[-1])
-    self_mask = (pos_ids <= position)[None, None, None, :]
+    if vector_pos:
+        self_mask = (pos_ids[None, :] <=
+                     position[:, None])[:, None, None, :]
+    else:
+        self_mask = (pos_ids <= position)[None, None, None, :]
     if key_mask is not None:
         self_mask = self_mask & key_mask[:, None, None, :]
 
@@ -459,17 +470,31 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
                                         self_qmax, self_k.dtype)
                 v_col, v_sc = _quantize(v_col.astype(jnp.float32), -2,
                                         self_qmax, self_v.dtype)
-                self_ks = jax.lax.dynamic_update_slice(
-                    self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
-                self_vs = jax.lax.dynamic_update_slice(
-                    self_vs, v_sc[None, :, :, 0, :], (li, 0, 0, position))
+                if vector_pos:
+                    rows = jnp.arange(b)
+                    self_ks = self_ks.at[li, rows, :, position].set(
+                        k_sc[:, :, 0, 0])
+                    self_vs = self_vs.at[li, rows, :, position].set(
+                        v_sc[:, :, 0, 0])
+                else:
+                    self_ks = jax.lax.dynamic_update_slice(
+                        self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
+                    self_vs = jax.lax.dynamic_update_slice(
+                        self_vs, v_sc[None, :, :, 0, :], (li, 0, 0, position))
             else:
                 k_col = k_col.astype(dtype)
                 v_col = v_col.astype(dtype)
-            self_k = jax.lax.dynamic_update_slice(
-                self_k, k_col[None], (li, 0, 0, 0, position))
-            self_v = jax.lax.dynamic_update_slice(
-                self_v, v_col[None], (li, 0, 0, 0, position))
+            if vector_pos:
+                rows = jnp.arange(b)
+                self_k = self_k.at[li, rows, :, :, position].set(
+                    k_col[:, :, :, 0])
+                self_v = self_v.at[li, rows, :, :, position].set(
+                    v_col[:, :, :, 0])
+            else:
+                self_k = jax.lax.dynamic_update_slice(
+                    self_k, k_col[None], (li, 0, 0, 0, position))
+                self_v = jax.lax.dynamic_update_slice(
+                    self_v, v_col[None], (li, 0, 0, 0, position))
             k_all = jax.lax.dynamic_index_in_dim(self_k, li, 0,
                                                  keepdims=False)
             v_all = jax.lax.dynamic_index_in_dim(self_v, li, 0,
@@ -586,6 +611,10 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
     steps — and (b) the verification forward of assisted decoding
     (modeling_whisper.py:1359 WhisperForCausalLM's consumer).
 
+    `position` may be a scalar (all rows at the same offset) or int32
+    [B] per-row offsets (batched assisted decoding): row b's block lands
+    at ring slots [position[b], position[b] + S).
+
     Returns (logits [B, S, vocab] f32, new cache,
              align_probs [B, A, S, K] f32).
     """
@@ -597,14 +626,25 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
     dtype = dec["tok_emb"].dtype if self_quant else cache.self_k.dtype
     self_qmax = 7.0 if cache.self_k.dtype == jnp.int4 else 127.0
 
+    position = jnp.asarray(position, jnp.int32)
+    vector_pos = position.ndim > 0                         # per-row offsets
+
     x = dec["tok_emb"][tokens].astype(dtype)               # [B, S, d]
-    pos_vec = position + jnp.arange(s)
+    if vector_pos:
+        pos_vec = position[:, None] + jnp.arange(s)[None, :]   # [B, S]
+    else:
+        pos_vec = position + jnp.arange(s)                     # [S]
     x = x + dec["pos_emb"][pos_vec].astype(dtype)
 
     # causal-within-block mask over ring positions: query at block row i
     # (absolute position position+i) attends to pos <= position+i
     ring_ids = jnp.arange(cache.self_k.shape[-1])
-    self_mask = ring_ids[None, None, None, :] <= pos_vec[None, None, :, None]
+    if vector_pos:
+        self_mask = (ring_ids[None, None, None, :] <=
+                     pos_vec[:, None, :, None])            # [B, 1, S, T]
+    else:
+        self_mask = (ring_ids[None, None, None, :] <=
+                     pos_vec[None, None, :, None])
     if key_mask is not None:
         self_mask = self_mask & key_mask[:, None, None, :]
 
@@ -642,17 +682,32 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
                                     self_qmax, self_k.dtype)
             v_blk, v_sc = _quantize(v_blk.astype(jnp.float32), -2,
                                     self_qmax, self_v.dtype)
-            self_ks = jax.lax.dynamic_update_slice(
-                self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
-            self_vs = jax.lax.dynamic_update_slice(
-                self_vs, v_sc[None, :, :, 0, :], (li, 0, 0, position))
+            if vector_pos:
+                rows = jnp.arange(b)[:, None]
+                self_ks = self_ks.at[li, rows, :, pos_vec].set(
+                    jnp.swapaxes(k_sc[:, :, 0, :], 1, 2))   # [B, S, H]
+                self_vs = self_vs.at[li, rows, :, pos_vec].set(
+                    jnp.swapaxes(v_sc[:, :, 0, :], 1, 2))
+            else:
+                self_ks = jax.lax.dynamic_update_slice(
+                    self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
+                self_vs = jax.lax.dynamic_update_slice(
+                    self_vs, v_sc[None, :, :, 0, :], (li, 0, 0, position))
         else:
             k_blk = k_blk.astype(dtype)
             v_blk = v_blk.astype(dtype)
-        self_k = jax.lax.dynamic_update_slice(
-            self_k, k_blk[None], (li, 0, 0, 0, position))
-        self_v = jax.lax.dynamic_update_slice(
-            self_v, v_blk[None], (li, 0, 0, 0, position))
+        if vector_pos:
+            rows = jnp.arange(b)[:, None]
+            # k_blk [B, H, Dh, S] -> scatter rows of [B, S, H, Dh]
+            self_k = self_k.at[li, rows, :, :, pos_vec].set(
+                jnp.transpose(k_blk, (0, 3, 1, 2)))
+            self_v = self_v.at[li, rows, :, :, pos_vec].set(
+                jnp.transpose(v_blk, (0, 3, 1, 2)))
+        else:
+            self_k = jax.lax.dynamic_update_slice(
+                self_k, k_blk[None], (li, 0, 0, 0, position))
+            self_v = jax.lax.dynamic_update_slice(
+                self_v, v_blk[None], (li, 0, 0, 0, position))
         k_all = jax.lax.dynamic_index_in_dim(self_k, li, 0, keepdims=False)
         v_all = jax.lax.dynamic_index_in_dim(self_v, li, 0, keepdims=False)
         if self_quant:

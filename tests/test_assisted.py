@@ -34,7 +34,7 @@ def _setup(seed_main=0, seed_draft=0):
     return arch, params, draft, enc, denc, opts, sel
 
 
-def _compare(ref, got):
+def _compare(ref, got, align_atol=1e-5):
     np.testing.assert_array_equal(np.asarray(got.sequences),
                                   np.asarray(ref.sequences))
     np.testing.assert_array_equal(np.asarray(got.num_generated),
@@ -43,12 +43,13 @@ def _compare(ref, got):
                                np.asarray(ref.sum_logprobs), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got.no_speech_probs),
                                np.asarray(ref.no_speech_probs), atol=1e-5)
-    # alignment rows: compare recorded region (num_generated - 1 rows)
-    g = int(np.asarray(ref.num_generated)[0])
-    rows = max(g - 1, 0)
-    np.testing.assert_allclose(
-        np.asarray(got.align_probs)[:, :, :rows],
-        np.asarray(ref.align_probs)[:, :, :rows], atol=1e-5)
+    # alignment rows: compare each row's recorded region
+    # (num_generated - 1 rows)
+    for r, g in enumerate(np.asarray(ref.num_generated)):
+        rows = max(int(g) - 1, 0)
+        np.testing.assert_allclose(
+            np.asarray(got.align_probs)[r, :, :rows],
+            np.asarray(ref.align_probs)[r, :, :rows], atol=align_atol)
 
 
 @pytest.mark.parametrize("spec_len", [1, 2, 4, 7])
@@ -94,14 +95,28 @@ def test_assisted_multi_token_prompt_and_suppress():
     _compare(ref, got)
 
 
-def test_assisted_rejects_batch():
-    arch, params, draft, enc, denc, opts, sel = _setup()
-    prompt = jnp.full((2, 1), TINY_SPECIALS.sot, jnp.int32)
-    enc2 = jnp.concatenate([enc, enc], axis=0)
-    with pytest.raises(ValueError, match="batch_size == 1"):
-        from crisperwhisper_tpu.decoding import assisted_decode
-        assisted_decode(params, arch, draft, arch, TINY_SPECIALS, opts,
-                        enc2, enc2, prompt, max_new_tokens=4)
+@pytest.mark.parametrize("seed_draft,spec_len", [(0, 3), (7, 4)])
+def test_assisted_batched_equals_greedy(seed_draft, spec_len):
+    """BATCHED speculation (beyond the reference's batch-1 assisted
+    generation): rows with different audio accept independently — ragged
+    committed lengths, per-row cache positions — and every row's output
+    must equal plain batched greedy."""
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    draft = (params if seed_draft == 0
+             else init_params(arch, jax.random.PRNGKey(seed_draft)))
+    mel = rand_mel(batch=3, seed=13)
+    enc = encode(params, arch, jnp.asarray(mel))
+    denc = enc if seed_draft == 0 else encode(draft, arch, jnp.asarray(mel))
+    opts = GenerationOptions(max_initial_timestamp_index=50)
+    sel = jnp.asarray(alignment_selector(arch, ((0, 1), (1, 2))))
+    prompt = jnp.full((3, 1), TINY_SPECIALS.sot, jnp.int32)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            MAX_NEW, align_sel=sel)
+    got = assisted_decode_jit(params, arch, draft, arch, TINY_SPECIALS,
+                              opts, enc, denc, prompt, MAX_NEW,
+                              spec_len=spec_len, align_sel=sel)
+    _compare(ref, got, align_atol=5e-5)
 
 
 def test_generate_with_assistant_equals_plain():
