@@ -58,6 +58,12 @@ ITERS = int(os.environ.get("BENCH_ITERS", "4"))
 N_ALIGN_HEADS = 15     # CrisperWhisper fine-tunes 15 heads (README:295)
 KV = os.environ.get("BENCH_KV", "int4")
 SELF_KV = os.environ.get("BENCH_SELF_KV", "int8")
+if "BENCH_W_INT8" in os.environ and "BENCH_W" not in os.environ:
+    # legacy knob (pre round-2): map it so old invocations keep meaning
+    os.environ["BENCH_W"] = ("int8" if os.environ["BENCH_W_INT8"] == "1"
+                             else "bf16")
+    print(f"# BENCH_W_INT8 is deprecated; interpreted as "
+          f"BENCH_W={os.environ['BENCH_W']}", flush=True)
 W_BITS = {"int8": 8, "int4": 4, "bf16": 0}[os.environ.get("BENCH_W", "int8")]
 CHUNK_STRIDE_S = 5.0   # pipeline overlap stride each side (chunk/6)
 

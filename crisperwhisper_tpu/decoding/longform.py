@@ -148,7 +148,8 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
              detect_language_first: bool = False,
              rng: jax.Array | None = None,
              monitor_progress: Any | None = None,
-             assistant: tuple[Any, WhisperArch] | None = None
+             assistant: tuple[Any, WhisperArch] | None = None,
+             batch_sharding: Any | None = None
              ) -> GenerateOutput:
     """Transcribe batched (possibly >30 s) mel features.
 
@@ -164,8 +165,20 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
       (including compaction tails of a batch) run the speculative
       draft-and-verify path; output is exactness-pinned to plain greedy,
       so fallback gating is unaffected.
+    batch_sharding: optional NamedSharding over a ("data", ...) mesh —
+      each 30 s window batch is device_put with it before encode/decode
+      so the whole compute path runs data-parallel (multi-chip pipeline
+      serving). Batches whose row count does not divide the data axis
+      (seek-loop compaction buckets) fall back to the default placement.
     """
     feats = np.asarray(input_features)
+
+    def _put_batch(x):
+        x = np.ascontiguousarray(x)
+        if (batch_sharding is not None
+                and x.shape[0] % batch_sharding.mesh.shape["data"] == 0):
+            return jax.device_put(x, batch_sharding)
+        return jnp.asarray(x)
     b, _, total_frames = feats.shape
     num_segment_frames = INPUT_STRIDE * arch.max_source_positions
     max_frames = (np.asarray(max_frames, np.int64) if max_frames is not None
@@ -185,7 +198,7 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
             first[i, :, :nseg] = feats[i, :, :nseg]
         lang_ids = np.asarray(detect_language(
             params, arch, specials, encode(params, arch,
-                                           jnp.asarray(first))))
+                                           _put_batch(first))))
         init_tokens = np.stack([
             np.concatenate([
                 np.asarray([specials.sot, int(lang_ids[i]),
@@ -296,7 +309,7 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
         for t_idx, temperature in enumerate(opts.temperatures):
             rng, sub = jax.random.split(rng)
             seqs, ngen, score, normalized, no_sp, jt = _decode_window(
-                params, arch, specials, opts, jnp.asarray(segment),
+                params, arch, specials, opts, _put_batch(segment),
                 iter_prompt, max_new, suppress, begin_suppress, align_sel,
                 float(temperature), sub, dtw_frames_bucket,
                 prompt_mask=iter_mask, sot_position=sot_position,

@@ -75,14 +75,22 @@ def load_pipeline(model_dir: str, *,
     arch = WhisperArch.from_hf_config(cfgs["config"])
     if mesh is not None and sharding is not None:
         raise ValueError("pass either mesh= or sharding=, not both")
-    params, _ = load_params(model_dir, arch, dtype=dtype, sharding=sharding)
+    params, _ = load_params(model_dir, arch, dtype=dtype, sharding=sharding,
+                            mesh=mesh)
     if quantize:
         from .models.quantize import (fuse_decoder_qkv,
                                       quantize_decoder_weights)
-        params = quantize_decoder_weights(
-            fuse_decoder_qkv(params, arch.head_dim))
-    if mesh is not None:
+        # with a mesh, keep q/k/v UNFUSED so the tensor-parallel column
+        # split stays head-aligned (a fused [di, 3d] qkv would split
+        # across the q/k/v block boundaries — parallel/mesh._param_spec
+        # replicates fused entries instead of sharding them)
+        if mesh is None:
+            params = fuse_decoder_qkv(params, arch.head_dim)
+        params = quantize_decoder_weights(params)
+    if mesh is not None and quantize:
         from .parallel import shard_params
+        # re-place the quantized leaves on their TP specs (quantization
+        # ran on sharded inputs; outputs carry derived placements)
         params = shard_params(params, mesh)
     tokenizer = WhisperTokenizer.from_dir(model_dir)
 

@@ -112,8 +112,12 @@ def _convert_key(key: str) -> tuple[tuple, Callable[[np.ndarray], np.ndarray],
 
 
 def params_from_state_dict(state: Mapping[str, np.ndarray], arch: WhisperArch,
-                           dtype: jnp.dtype = jnp.float32) -> Params:
-    """Convert a flat HF-style state dict of numpy arrays to our pytree."""
+                           dtype: jnp.dtype = jnp.float32,
+                           as_numpy: bool = False) -> Params:
+    """Convert a flat HF-style state dict of numpy arrays to our pytree.
+
+    as_numpy=True keeps leaves as host numpy arrays (low-memory sharded
+    loading: the caller device_puts straight onto shardings)."""
     tree: dict = {}
     # staging: per-layer tensors collected then stacked
     staged: dict[tuple, dict[int, np.ndarray]] = {}
@@ -153,6 +157,14 @@ def params_from_state_dict(state: Mapping[str, np.ndarray], arch: WhisperArch,
         if isinstance(node, dict):
             return {k: cast_tree(v, keep_f32 or k in _F32_KEYS)
                     for k, v in node.items()}
+        if as_numpy:
+            # host-side cast (ml_dtypes handles bf16 numpy arrays) so the
+            # caller can device_put each leaf DIRECTLY onto its sharding
+            # without first materializing the model on one device
+            a = np.asarray(node)
+            if keep_f32 or a.dtype != np.float32:
+                return a
+            return a.astype(np.dtype(dtype))
         a = jnp.asarray(node)
         if keep_f32 or a.dtype != jnp.float32:
             return a
@@ -194,11 +206,16 @@ def _iter_safetensor_files(model_dir: str) -> Iterable[str]:
 
 def load_params(model_dir: str, arch: WhisperArch | None = None,
                 dtype: jnp.dtype = jnp.bfloat16,
-                sharding: Any | None = None) -> tuple[Params, WhisperArch]:
+                sharding: Any | None = None,
+                mesh: Any | None = None) -> tuple[Params, WhisperArch]:
     """Load a local HF-format Whisper checkpoint directory.
 
     Returns (params, arch). When ``sharding`` is a pytree of NamedShardings
-    (or a single sharding), params are device_put accordingly.
+    (or a single sharding), params are device_put accordingly. When
+    ``mesh`` is a ("data", "model") Mesh, params are cast on HOST and
+    device_put leaf-by-leaf straight onto their tensor-parallel specs
+    (parallel/mesh.param_pspecs) — the model never materializes whole on
+    a single device.
     """
     from safetensors import safe_open
 
@@ -211,6 +228,11 @@ def load_params(model_dir: str, arch: WhisperArch | None = None,
         with safe_open(path, framework="numpy") as f:
             for key in f.keys():
                 state[key] = f.get_tensor(key)
+    if mesh is not None:
+        from ..parallel import shard_params
+        params = params_from_state_dict(state, arch, dtype, as_numpy=True)
+        params = shard_params(params, mesh)
+        return params, arch
     params = params_from_state_dict(state, arch, dtype)
     if sharding is not None:
         params = jax.device_put(params, sharding)

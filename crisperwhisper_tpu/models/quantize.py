@@ -114,8 +114,22 @@ def quantize_decoder_weights(params: Params, bits: int = 8) -> Params:
     return {**params, "decoder": dec}
 
 
+def dequantize_dense(q: Params) -> jnp.ndarray:
+    """Reconstruct the f32 weight from either quantized dense layout
+    (int8 per-channel {"w_q","w_scale"} or grouped int4
+    {"w_q4","w_gscale"})."""
+    if "w_q" in q:
+        return q["w_q"].astype(jnp.float32) * q["w_scale"].astype(
+            jnp.float32)
+    *lead, g, gsz, d_out = q["w_q4"].shape
+    deq = (q["w_q4"].astype(jnp.float32)
+           * q["w_gscale"][..., :, None, :].astype(jnp.float32))
+    return deq.reshape(*lead, g * gsz, d_out)
+
+
 def quantization_error(params: Params, quantized: Params) -> dict[str, Any]:
-    """Max relative dequantization error per decoder group (diagnostics)."""
+    """Max relative dequantization error per decoder group (diagnostics;
+    supports both the int8 and grouped-int4 layouts)."""
     report = {}
     for group in ("self", "cross", "mlp"):
         orig = params["decoder"]["layers"][group]
@@ -124,8 +138,7 @@ def quantization_error(params: Params, quantized: Params) -> dict[str, Any]:
         for name in orig:
             if isinstance(orig[name], dict) and "w" in orig[name]:
                 w = orig[name]["w"].astype(jnp.float32)
-                deq = (quant[name]["w_q"].astype(jnp.float32)
-                       * quant[name]["w_scale"].astype(jnp.float32))
+                deq = dequantize_dense(quant[name])
                 errs.append(float(jnp.max(jnp.abs(w - deq))
                                   / (jnp.max(jnp.abs(w)) + 1e-9)))
         report[group] = max(errs) if errs else 0.0

@@ -38,27 +38,57 @@ def make_mesh(data: int = 1, model: int = 1,
     return Mesh(dev_array, ("data", "model"))
 
 
+def _col_parallel(leaf: str) -> P | None:
+    """Specs for a COLUMN-parallel dense (outputs split over "model"),
+    covering the plain, int8 and grouped-int4 weight layouts
+    (models/quantize.py): w [L,di,do], w_q [L,di,do], w_scale [L,1,do],
+    w_q4 [L,G,gsz,do], w_gscale [L,G,do], b [L,do]."""
+    return {
+        "w": P(None, None, "model"),
+        "w_q": P(None, None, "model"),
+        "w_scale": P(None, None, "model"),
+        "w_q4": P(None, None, None, "model"),
+        "w_gscale": P(None, None, "model"),
+        "b": P(None, "model"),
+    }.get(leaf)
+
+
+def _row_parallel(leaf: str) -> P | None:
+    """Specs for a ROW-parallel dense (inputs split over "model"; outputs
+    replicated after the psum XLA inserts). Per-output int8 scales and
+    biases apply after the sum -> replicated; grouped-int4 scales follow
+    the split input-group axis."""
+    return {
+        "w": P(None, "model", None),
+        "w_q": P(None, "model", None),
+        "w_scale": P(),
+        "w_q4": P(None, "model", None, None),
+        "w_gscale": P(None, "model", None),
+        "b": P(),
+    }.get(leaf)
+
+
 def _param_spec(path: tuple[str, ...], ndim: int) -> P:
     """Partition spec for one parameter identified by its tree path."""
     path_s = "/".join(str(p) for p in path)
+    leaf = path[-1]
     # attention projections (encoder attn / decoder self / decoder cross)
     for group in ("attn", "self", "cross"):
         if f"/{group}/" in f"/{path_s}/":
-            if path_s.endswith("o/w"):
-                return P(None, "model", None)
-            if path_s.endswith("/w"):
-                return P(None, None, "model")
-            if path_s.endswith("o/b"):
-                return P()                       # output bias replicated
-            if path_s.endswith("/b"):
-                return P(None, "model")
+            if "/qkv/" in f"/{path_s}/":
+                # FUSED qkv ([di, 3d] with q|k|v column blocks): a plain
+                # "model" column split would cut across the q/k/v block
+                # boundaries — replicate instead. hub.load_pipeline skips
+                # the fusion when a mesh is given so TP applies cleanly.
+                return P()
+            if len(path) >= 2 and path[-2] == "o":
+                return _row_parallel(leaf) or P()
+            return _col_parallel(leaf) or P()
     if "/mlp/" in f"/{path_s}/":
-        if path_s.endswith("fc1/w"):
-            return P(None, None, "model")
-        if path_s.endswith("fc1/b"):
-            return P(None, "model")
-        if path_s.endswith("fc2/w"):
-            return P(None, "model", None)
+        if len(path) >= 2 and path[-2] == "fc1":
+            return _col_parallel(leaf) or P()
+        if len(path) >= 2 and path[-2] == "fc2":
+            return _row_parallel(leaf) or P()
         return P()
     return P()                                   # LN, conv, embeddings
 

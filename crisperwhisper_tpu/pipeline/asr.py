@@ -169,6 +169,11 @@ class ASRPipeline:
             opts = GenerationOptions(
                 **{**opts.__dict__, "return_token_timestamps": False})
 
+        data_shard = None
+        if self.mesh is not None:
+            from ..parallel import data_sharding
+            data_shard = data_sharding(self.mesh)
+
         outputs: list[dict] = [None] * len(chunks)  # type: ignore
         for start in range(0, len(chunks), bs):
             group = chunks[start:start + bs]
@@ -186,19 +191,16 @@ class ASRPipeline:
             for i, c in enumerate(group):
                 batch[i, :len(c.samples)] = c.samples
                 num_frames[i] = len(c.samples) // self.feat_cfg.hop_length
-            if self.mesh is not None:
-                from ..parallel import data_sharding
-                batch_j = jax.device_put(batch,
-                                         data_sharding(self.mesh))
-            else:
-                batch_j = jnp.asarray(batch)
+            batch_j = (jnp.asarray(batch) if data_shard is None
+                       else jax.device_put(batch, data_shard))
             feats = extract_features(batch_j, self.feat_cfg)
             lang_tok = self._language_token()
             gen = generate(self.params, self.arch, self.specials, opts,
                            feats, num_frames=num_frames,
                            language_token=lang_tok,
                            detect_language_first=(self.detect_language
-                                                  and lang_tok is None))
+                                                  and lang_tok is None),
+                           batch_sharding=data_shard)
             for i, c in enumerate(group):
                 segs = gen.segments[i]
                 toks = (np.concatenate([np.asarray(s["tokens"])

@@ -24,15 +24,10 @@ import numpy as np
 
 
 def _edit_distance(ref: Sequence[str], hyp: Sequence[str]) -> int:
-    n, m = len(ref), len(hyp)
-    prev = list(range(m + 1))
-    for i in range(1, n + 1):
-        cur = [i] + [0] * m
-        for j in range(1, m + 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
-                         prev[j - 1] + (ref[i - 1] != hyp[j - 1]))
-        prev = cur
-    return prev[m]
+    # thin wrapper over the shared DP builder below (one Levenshtein
+    # implementation serves wer / word_error_rate / align_matched_words)
+    return int(_levenshtein_matrix(list(ref), list(hyp))[len(ref),
+                                                         len(hyp)])
 
 
 def wer(references: Sequence[str], hypotheses: Sequence[str],
@@ -251,9 +246,17 @@ def segmentation_scores(ref_words: Sequence[Word],
 
 def chunks_to_words(chunks: Sequence[dict]) -> list[Word]:
     """Adapt the pipeline's word-chunk output
-    ({"text": ..., "timestamp": (s, e)}) to (word, start, end) tuples."""
+    ({"text": ..., "timestamp": (s, e)}) to (word, start, end) tuples.
+
+    Open-ended timestamps (segment-mode output can leave the final
+    segment's end — or both bounds — as None, tokenizer/stitcher.py):
+    a None end falls back to the start (zero-length interval, scores
+    0 IOU); a chunk with no start at all is skipped."""
     out: list[Word] = []
     for c in chunks:
         s, e = c["timestamp"]
-        out.append((c["text"].strip(), float(s), float(e)))
+        if s is None:
+            continue
+        out.append((c["text"].strip(), float(s),
+                    float(s if e is None else e)))
     return out

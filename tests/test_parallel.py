@@ -122,3 +122,61 @@ def test_pipeline_mesh_batch_size_validation(mesh):
     with _pytest.raises(ValueError, match="multiple"):
         ASRPipeline(params, arch, None, specials=TINY_SPECIALS,
                     pipe_opts=PipelineOptions(batch_size=3), mesh=mesh)
+
+
+def test_param_pspecs_cover_quantized_tree():
+    """TP specs must reach the quantized leaf layouts (w_q/w_scale,
+    w_q4/w_gscale) — a silent fallthrough to replicated would make mesh
+    serving of the quantized decoder inert."""
+    from jax.sharding import PartitionSpec as P
+    from crisperwhisper_tpu.models.quantize import (fuse_decoder_qkv,
+                                                    quantize_decoder_weights)
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    from crisperwhisper_tpu.parallel import param_pspecs as pspecs
+
+    q8 = pspecs(quantize_decoder_weights(params))
+    dec = q8["decoder"]["layers"]
+    assert dec["self"]["q"]["w_q"] == P(None, None, "model")
+    assert dec["self"]["q"]["w_scale"] == P(None, None, "model")
+    assert dec["self"]["o"]["w_q"] == P(None, "model", None)
+    assert dec["self"]["o"]["w_scale"] == P()
+    assert dec["mlp"]["fc2"]["w_q"] == P(None, "model", None)
+
+    q4 = pspecs(quantize_decoder_weights(params, bits=4))
+    dec4 = q4["decoder"]["layers"]
+    assert dec4["mlp"]["fc1"]["w_q4"] == P(None, None, None, "model")
+    assert dec4["mlp"]["fc1"]["w_gscale"] == P(None, None, "model")
+    assert dec4["cross"]["o"]["w_q4"] == P(None, "model", None, None)
+
+    fused = pspecs(quantize_decoder_weights(
+        fuse_decoder_qkv(params, arch.head_dim)))
+    # fused qkv deliberately replicated (block-boundary-crossing split)
+    assert fused["decoder"]["layers"]["self"]["qkv"]["w_q"] == P()
+
+
+def test_sharded_quantized_decode_matches_single_device(mesh):
+    """int8 weights (unfused) + int8 cross cache, TP-sharded: identical
+    tokens to the unsharded quantized decode."""
+    from crisperwhisper_tpu.models import init_cache
+    from crisperwhisper_tpu.models.quantize import quantize_decoder_weights
+    arch = tiny_arch()
+    params = quantize_decoder_weights(
+        init_params(arch, jax.random.PRNGKey(2)))
+    mel = rand_mel(batch=4, seed=6)
+    prompt = np.full((4, 1), TINY_SPECIALS.sot, np.int32)
+    opts = GenerationOptions(max_initial_timestamp_index=50)
+
+    enc = encode(params, arch, jnp.asarray(mel))
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc,
+                            jnp.asarray(prompt), 8,
+                            cross_cache_dtype=jnp.int8)
+
+    sp = shard_params(params, mesh)
+    enc_s = encode(sp, arch, jax.device_put(jnp.asarray(mel),
+                                            data_sharding(mesh)))
+    out = greedy_decode_jit(sp, arch, TINY_SPECIALS, opts, enc_s,
+                            jnp.asarray(prompt), 8,
+                            cross_cache_dtype=jnp.int8)
+    np.testing.assert_array_equal(np.asarray(ref.sequences),
+                                  np.asarray(out.sequences))
