@@ -23,6 +23,16 @@ decode_step_multi position vectors), and rows accept independently.
 Draft model requirements: any Whisper decoder (same tokenizer); it runs
 against its own encoder output (same audio, its own geometry — pass
 `draft_encoder_out`). `spec_len` is the static speculation window.
+
+DRAFT-FREE mode (draft_params=None): candidates come from PROMPT-LOOKUP
+n-gram matching instead of a model — the TPU-native rebuild of hf
+PromptLookupCandidateGenerator (generation/candidate_generator.py,
+enabled by `generate(prompt_lookup_num_tokens=...)`): the trailing
+n-gram of the committed tokens is matched against earlier positions
+(first match wins, largest n first) and the tokens that followed it are
+proposed. No second model, no extra memory; windows without a match
+propose rejected filler and cost one ordinary step. Useful for
+repetitive speech (dictation with corrections, verbatim disfluencies).
 """
 
 from __future__ import annotations
@@ -37,6 +47,48 @@ from ..config import GenerationOptions, SpecialTokens, WhisperArch
 from ..models.whisper import decode_step, decode_step_multi, init_cache
 from .greedy import DecodeResult
 from .processors import TimestampState, process_scores
+
+
+def ngram_propose(tokens: jax.Array, lengths: jax.Array, spec_len: int,
+                  ngram_sizes: tuple[int, ...] = (3, 2),
+                  fill: int = 0) -> jax.Array:
+    """Prompt-lookup candidates: for each row, match the trailing n-gram
+    of tokens[:lengths] against earlier window starts (largest n first,
+    FIRST match wins — hf candidate_generator.py semantics) and return
+    the `spec_len` tokens that followed the match. Rows with no match get
+    `fill` (the verify pass rejects them; exactness is never at stake).
+
+    tokens: int32 [B, TT] (committed prefix + filler tail);
+    lengths: int32 [B]. Returns drafts int32 [B, spec_len].
+    """
+    b, tt = tokens.shape
+    idx = jnp.arange(tt)
+    drafts = jnp.full((b, spec_len), fill, jnp.int32)
+    have = jnp.zeros((b,), bool)
+    for n in ngram_sizes:                        # static, largest first
+        # trailing n-gram per row: tokens[lengths-n : lengths]
+        tgt = jnp.take_along_axis(
+            tokens, jnp.clip(lengths[:, None] - n + jnp.arange(n)[None, :],
+                             0, tt - 1), axis=1)            # [B, n]
+        # window match at start i: all_j tokens[i+j] == tgt[j], for
+        # i + n <= lengths - 1 (at least one continuation token exists,
+        # and the trailing n-gram itself is excluded)
+        match = jnp.ones((b, tt), bool)
+        for j in range(n):
+            shifted = jnp.take_along_axis(
+                tokens, jnp.clip(idx[None, :] + j, 0, tt - 1), axis=1)
+            match = match & (shifted == tgt[:, j:j + 1])
+        valid = idx[None, :] + n <= lengths[:, None] - 1
+        match = match & valid & (lengths[:, None] >= n + 1)
+        found = jnp.any(match, axis=1)
+        i_star = jnp.argmax(match, axis=1)       # first True
+        cand = jnp.take_along_axis(
+            tokens, jnp.clip(i_star[:, None] + n + jnp.arange(spec_len),
+                             0, tt - 1), axis=1).astype(jnp.int32)
+        use = found & ~have
+        drafts = jnp.where(use[:, None], cand, drafts)
+        have = have | found
+    return drafts
 
 
 def assisted_decode(params: Any, arch: WhisperArch,
@@ -57,6 +109,7 @@ def assisted_decode(params: Any, arch: WhisperArch,
                     sot_position: int = 0) -> DecodeResult:
     b, p = prompt.shape
     s = spec_len
+    use_draft_model = draft_params is not None   # else: prompt lookup
     k_frames = encoder_out.shape[1]
     t_total = p + max_new_tokens
     if t_total > arch.max_target_positions:
@@ -70,8 +123,14 @@ def assisted_decode(params: Any, arch: WhisperArch,
     cache = init_cache(params, arch, encoder_out,
                        cross_dtype=cross_cache_dtype,
                        cache_len=t_total + s, self_dtype=self_cache_dtype)
-    draft_cache = init_cache(draft_params, draft_arch, draft_encoder_out,
-                             cache_len=t_total + s)
+    if use_draft_model:
+        draft_cache = init_cache(draft_params, draft_arch,
+                                 draft_encoder_out, cache_len=t_total + s)
+    else:
+        # structural placeholder so the while-loop carry keeps one shape
+        draft_cache = cache._replace(
+            self_k=jnp.zeros((1,), cache.self_k.dtype),
+            self_v=jnp.zeros((1,), cache.self_v.dtype))
 
     prompt = prompt.astype(jnp.int32)
     key_mask = None
@@ -84,9 +143,10 @@ def assisted_decode(params: Any, arch: WhisperArch,
         pre_logits, cache, _ = decode_step_multi(
             params, arch, prompt[:, :p - 1], jnp.int32(0), cache,
             key_mask=key_mask, align_dtype=align_dtype)
-        _, draft_cache, _ = decode_step_multi(
-            draft_params, draft_arch, prompt[:, :p - 1], jnp.int32(0),
-            draft_cache, key_mask=key_mask)
+        if use_draft_model:
+            _, draft_cache, _ = decode_step_multi(
+                draft_params, draft_arch, prompt[:, :p - 1], jnp.int32(0),
+                draft_cache, key_mask=key_mask)
         if sot_position <= p - 2:          # static here (no traced callers)
             lg = pre_logits[:, sot_position]
             no_speech0 = jnp.exp(lg[:, specials.no_speech]
@@ -116,23 +176,29 @@ def assisted_decode(params: Any, arch: WhisperArch,
                                 self_k_scale=self_ks, self_v_scale=self_vs)
         dcache = draft_cache._replace(self_k=d_self_k, self_v=d_self_v)
 
-        # ---- draft chain: propose d_1..d_s greedily with the grammar ----
-        def draft_body(carry, i):
-            dc_k, dc_v, dstate, tok = carry
-            dc = draft_cache._replace(self_k=dc_k, self_v=dc_v)
-            lgt, dc, _ = decode_step(draft_params, draft_arch, tok,
-                                     lengths - 1 + i, dc,
-                                     key_mask=key_mask)
-            nxt = jnp.argmax(proc(lgt, dstate), axis=-1).astype(jnp.int32)
-            return (dc.self_k, dc.self_v, dstate.update(nxt, ts_begin),
-                    nxt), nxt
-
         feed0 = jnp.take_along_axis(tokens, lengths[:, None] - 1,
                                     axis=1)[:, 0]
-        (d_self_k, d_self_v, _, _), drafts = jax.lax.scan(
-            draft_body, (dcache.self_k, dcache.self_v, state, feed0),
-            jnp.arange(s))
-        drafts = jnp.swapaxes(drafts, 0, 1)            # [B, S]
+        if use_draft_model:
+            # ---- draft chain: propose d_1..d_s greedily w/ the grammar
+            def draft_body(carry, i):
+                dc_k, dc_v, dstate, tok = carry
+                dc = draft_cache._replace(self_k=dc_k, self_v=dc_v)
+                lgt, dc, _ = decode_step(draft_params, draft_arch, tok,
+                                         lengths - 1 + i, dc,
+                                         key_mask=key_mask)
+                nxt = jnp.argmax(proc(lgt, dstate),
+                                 axis=-1).astype(jnp.int32)
+                return (dc.self_k, dc.self_v, dstate.update(nxt, ts_begin),
+                        nxt), nxt
+
+            (d_self_k, d_self_v, _, _), drafts = jax.lax.scan(
+                draft_body, (dcache.self_k, dcache.self_v, state, feed0),
+                jnp.arange(s))
+            drafts = jnp.swapaxes(drafts, 0, 1)        # [B, S]
+        else:
+            # ---- prompt lookup: n-gram continuation of the committed
+            # tokens (hf PromptLookupCandidateGenerator analog) ----
+            drafts = ngram_propose(tokens, lengths, s, fill=eot)
 
         # ---- verify: ONE multi-token step over [tok[L-1], d_1..d_{S-1}] --
         block = jnp.concatenate([feed0[:, None], drafts[:, :s - 1]],

@@ -78,10 +78,15 @@ def _decode_window(params, arch, specials, opts, segment_features,
         # speculative path: the draft proposes, the main model verifies a
         # whole window per forward (hf assistant_model analog — exactness
         # vs greedy is test-pinned, so fallback gates see identical
-        # tokens/scores)
+        # tokens/scores). assistant="prompt_lookup" uses the draft-free
+        # n-gram candidate generator instead of a model (hf
+        # prompt_lookup_num_tokens analog).
         from .assisted import assisted_decode_jit
-        draft_params, draft_arch = assistant
-        draft_enc = encode(draft_params, draft_arch, segment_features)
+        if assistant == "prompt_lookup":
+            draft_params = draft_arch = draft_enc = None
+        else:
+            draft_params, draft_arch = assistant
+            draft_enc = encode(draft_params, draft_arch, segment_features)
         res = assisted_decode_jit(
             params, arch, draft_params, draft_arch, specials, opts,
             encoder_out, draft_enc, jnp.asarray(prompt), max_new,
@@ -148,7 +153,7 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
              detect_language_first: bool = False,
              rng: jax.Array | None = None,
              monitor_progress: Any | None = None,
-             assistant: tuple[Any, WhisperArch] | None = None,
+             assistant: tuple[Any, WhisperArch] | str | None = None,
              batch_sharding: Any | None = None
              ) -> GenerateOutput:
     """Transcribe batched (possibly >30 s) mel features.
@@ -161,10 +166,11 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
       reference's _retrieve_max_frames_and_seek: attention-mask bound for
       batched long-form, full window for short-form, :1782-1795).
     assistant: optional (draft_params, draft_arch) pair — the reference's
-      generate(assistant_model=...) analog. Single-row greedy windows
-      (including compaction tails of a batch) run the speculative
-      draft-and-verify path; output is exactness-pinned to plain greedy,
-      so fallback gating is unaffected.
+      generate(assistant_model=...) analog — or the string
+      "prompt_lookup" for the draft-free n-gram candidate generator (hf
+      generate(prompt_lookup_num_tokens=...) analog). Greedy windows run
+      the speculative draft-and-verify path; output is exactness-pinned
+      to plain greedy, so fallback gating is unaffected.
     batch_sharding: optional NamedSharding over a ("data", ...) mesh —
       each 30 s window batch is device_put with it before encode/decode
       so the whole compute path runs data-parallel (multi-chip pipeline

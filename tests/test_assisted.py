@@ -144,3 +144,74 @@ def test_generate_with_assistant_equals_plain():
                         assistant=(draft, arch))
     np.testing.assert_array_equal(assisted.sequences, plain.sequences)
     assert len(assisted.segments[0]) == len(plain.segments[0])
+
+
+def test_ngram_propose_unit():
+    """Crafted buffers: continuation of the first (earliest) match of the
+    trailing n-gram, largest n preferred; no match -> fill."""
+    from crisperwhisper_tpu.decoding.assisted import ngram_propose
+    F = 99
+    # row 0: ... 5 6 7 ... 5 6 | frontier; trailing 2-gram (5,6) matched
+    #        at i=1 -> continuation 7 8
+    # row 1: no repetition -> fill
+    toks = jnp.asarray([
+        [0, 5, 6, 7, 8, 5, 6, F, F, F],
+        [0, 1, 2, 3, 4, 5, 6, F, F, F],
+    ], jnp.int32)
+    lengths = jnp.asarray([7, 7], jnp.int32)
+    drafts = np.asarray(ngram_propose(toks, lengths, 2, ngram_sizes=(2,),
+                                      fill=F))
+    np.testing.assert_array_equal(drafts[0], [7, 8])
+    np.testing.assert_array_equal(drafts[1], [F, F])
+    # larger n wins when it matches: trailing 3-gram (6,7,8) at i=1 ->
+    # continuation 9; the 2-gram (7,8) would match the same spot anyway
+    toks3 = jnp.asarray([[0, 6, 7, 8, 9, 2, 6, 7, 8, F, F]], jnp.int32)
+    drafts3 = np.asarray(ngram_propose(toks3, jnp.asarray([9]), 2,
+                                       ngram_sizes=(3, 2), fill=F))
+    np.testing.assert_array_equal(drafts3[0], [9, 2])
+    # trailing n-gram must not match ITSELF (frontier exclusion): the
+    # only occurrence of (8, 9) is at the frontier -> no match
+    toks4 = jnp.asarray([[0, 1, 2, 3, 8, 9, F, F]], jnp.int32)
+    drafts4 = np.asarray(ngram_propose(toks4, jnp.asarray([6]), 2,
+                                       ngram_sizes=(2,), fill=F))
+    np.testing.assert_array_equal(drafts4[0], [F, F])
+
+
+@pytest.mark.parametrize("batch", [1, 2])
+def test_prompt_lookup_equals_greedy(batch):
+    """Draft-free prompt-lookup speculation must STILL equal greedy
+    exactly (the lookup only changes which candidates get verified)."""
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    mel = rand_mel(batch=batch, seed=21)
+    enc = encode(params, arch, jnp.asarray(mel))
+    opts = GenerationOptions(max_initial_timestamp_index=50)
+    sel = jnp.asarray(alignment_selector(arch, ((0, 1), (1, 2))))
+    prompt = jnp.full((batch, 1), TINY_SPECIALS.sot, jnp.int32)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            MAX_NEW, align_sel=sel)
+    got = assisted_decode_jit(params, arch, None, None, TINY_SPECIALS,
+                              opts, enc, None, prompt, MAX_NEW,
+                              spec_len=3, align_sel=sel)
+    _compare(ref, got, align_atol=5e-5)
+
+
+def test_generate_prompt_lookup_equals_plain():
+    from crisperwhisper_tpu.decoding import generate
+
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    opts = GenerationOptions(max_initial_timestamp_index=50,
+                             max_new_tokens=12, temperatures=(0.0,),
+                             compression_ratio_threshold=None,
+                             logprob_threshold=None,
+                             no_speech_threshold=None,
+                             assistant_spec_len=3)
+    mel = rand_mel(batch=1, seed=31)
+    lens = np.array([500])
+    plain = generate(params, arch, TINY_SPECIALS, opts, jnp.asarray(mel),
+                     num_frames=lens, max_frames=lens)
+    looked = generate(params, arch, TINY_SPECIALS, opts, jnp.asarray(mel),
+                      num_frames=lens, max_frames=lens,
+                      assistant="prompt_lookup")
+    np.testing.assert_array_equal(looked.sequences, plain.sequences)
