@@ -215,3 +215,36 @@ def test_generate_prompt_lookup_equals_plain():
                       num_frames=lens, max_frames=lens,
                       assistant="prompt_lookup")
     np.testing.assert_array_equal(looked.sequences, plain.sequences)
+
+
+def test_ngram_propose_fuzz_vs_python_reference():
+    """Randomized differential: the vectorized matcher must agree with a
+    direct python implementation of the lookup rule."""
+    from crisperwhisper_tpu.decoding.assisted import ngram_propose
+
+    def py_ref(row, length, s, sizes, fill):
+        for n in sizes:
+            if length < n + 1:
+                continue
+            tgt = row[length - n:length]
+            for i in range(0, length - n):
+                if row[i:i + n] == tgt:
+                    cand = row[i + n:i + n + s]
+                    cand = cand + [row[-1]] * (s - len(cand))
+                    return cand[:s]
+        return [fill] * s
+
+    rng = np.random.default_rng(0)
+    F, TT, S = 77, 24, 3
+    for trial in range(40):
+        b = int(rng.integers(1, 4))
+        vocab = int(rng.integers(3, 7))     # small vocab => many repeats
+        toks = rng.integers(0, vocab, (b, TT)).astype(np.int32)
+        lengths = rng.integers(1, TT - S + 1, (b,)).astype(np.int32)
+        got = np.asarray(ngram_propose(jnp.asarray(toks),
+                                       jnp.asarray(lengths), S,
+                                       ngram_sizes=(3, 2), fill=F))
+        for r in range(b):
+            want = py_ref(list(toks[r]), int(lengths[r]), S, (3, 2), F)
+            np.testing.assert_array_equal(got[r], want,
+                                          err_msg=f"trial {trial} row {r}")

@@ -180,3 +180,53 @@ def test_sharded_quantized_decode_matches_single_device(mesh):
                             cross_cache_dtype=jnp.int8)
     np.testing.assert_array_equal(np.asarray(ref.sequences),
                                   np.asarray(out.sequences))
+
+
+def test_streaming_batcher_over_mesh_pipeline(mesh, tmp_path_factory):
+    """The multi-stream serving batcher drives the mesh-served pipeline
+    transparently (single device-owner worker; SURVEY §5.2) and yields
+    the same transcripts as direct calls."""
+    import sys
+    sys.path.insert(0, "tests")
+    from vocab_fixture import build_model_vocab_dir, our_tokenizer
+    from helpers import state_dict_numpy, torch_tiny_model
+    from crisperwhisper_tpu.config import PipelineOptions, FeatureConfig
+    from crisperwhisper_tpu.models import params_from_state_dict
+    from crisperwhisper_tpu.pipeline.asr import ASRPipeline
+    from crisperwhisper_tpu.serving import StreamingBatcher
+
+    vocab_dir = str(tmp_path_factory.mktemp("mesh_vocab2"))
+    build_model_vocab_dir(vocab_dir)
+    tm = torch_tiny_model(seed=0)
+    params = shard_params(
+        params_from_state_dict(state_dict_numpy(tm), tiny_arch(),
+                               dtype=jnp.float32), mesh)
+    pipe = ASRPipeline(
+        params, tiny_arch(), our_tokenizer(vocab_dir),
+        specials=TINY_SPECIALS,
+        gen_opts=GenerationOptions(
+            alignment_heads=((0, 1), (1, 3)), median_filter_width=7,
+            max_initial_timestamp_index=50,
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None, temperatures=(0.0,),
+            max_new_tokens=12),
+        pipe_opts=PipelineOptions(chunk_length_s=5, batch_size=2,
+                                  return_timestamps="word"),
+        feat_cfg=FeatureConfig(feature_size=80, chunk_length=5), mesh=mesh)
+
+    rng = np.random.default_rng(9)
+    t = np.arange(6 * 16000) / 16000.0
+    audio = (0.3 * np.sin(2 * np.pi * 250 * t)
+             + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+    ref = pipe({"raw": audio, "sampling_rate": 16000},
+               return_timestamps="word")
+    batcher = StreamingBatcher(pipe)
+    try:
+        handles = [batcher.submit({"raw": audio, "sampling_rate": 16000})
+                   for _ in range(3)]
+        results = [h.result(timeout=600) for h in handles]
+    finally:
+        batcher.shutdown()
+    for r in results:
+        assert r["text"] == ref["text"]
+        assert len(r["chunks"]) == len(ref["chunks"])
