@@ -177,6 +177,12 @@ class GenerationOptions:
     assistant_spec_len: int = 5     # speculation window for assisted
     #                                 decoding (hf num_assistant_tokens
     #                                 default, generation config)
+    prompt_lookup: bool = False     # draft-free n-gram speculation (hf
+    #                                 prompt_lookup_num_tokens analog;
+    #                                 window = assistant_spec_len). The
+    #                                 pipeline passes it to generate() as
+    #                                 assistant="prompt_lookup"; output
+    #                                 is exactness-pinned to greedy.
 
 
 @dataclass(frozen=True)

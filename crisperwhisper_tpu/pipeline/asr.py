@@ -200,7 +200,9 @@ class ASRPipeline:
                            language_token=lang_tok,
                            detect_language_first=(self.detect_language
                                                   and lang_tok is None),
-                           batch_sharding=data_shard)
+                           batch_sharding=data_shard,
+                           assistant=("prompt_lookup" if opts.prompt_lookup
+                                      else None))
             for i, c in enumerate(group):
                 segs = gen.segments[i]
                 toks = (np.concatenate([np.asarray(s["tokens"])

@@ -68,7 +68,9 @@ def main():
     dt = timeit(chain(xla_attn), q, k, v)
     print(f"xla eager          {dt * 1e3:7.1f} ms  MFU "
           f"{flops / dt / PEAK * 100:5.1f}%", flush=True)
-    for bq in (256, 512, 768):
+    blocks = tuple(int(x) for x in os.environ.get(
+        "BLOCKS", "256,512,768").split(","))
+    for bq in blocks:
         fn = chain(lambda q, k, v, bq=bq: fused_attention(q, k, v,
                                                           block_q=bq))
         dt = timeit(fn, q, k, v)

@@ -135,3 +135,24 @@ def test_streaming_batcher_multi_stream(pipe, wav_path):
     for r in results:
         assert r["text"] == ref["text"]
         assert len(r["chunks"]) == len(ref["chunks"])
+
+
+def test_pipeline_prompt_lookup_matches_plain(pipe, ckpt_dir, wav_path):
+    """GenerationOptions(prompt_lookup=True) routes the pipeline through
+    the draft-free speculation path; transcripts must be identical."""
+    from dataclasses import replace
+    import jax.numpy as jnp
+    from crisperwhisper_tpu.config import PipelineOptions
+    from crisperwhisper_tpu.hub import load_pipeline
+
+    ref = pipe(wav_path, return_timestamps="word")
+    pl_pipe = load_pipeline(
+        ckpt_dir, dtype=jnp.float32,
+        pipe_opts=PipelineOptions(chunk_length_s=CHUNK_S, batch_size=4,
+                                  return_timestamps="word"))
+    pl_pipe.gen_opts = replace(pl_pipe.gen_opts, prompt_lookup=True,
+                               assistant_spec_len=3)
+    got = pl_pipe(wav_path, return_timestamps="word")
+    assert got["text"] == ref["text"]
+    assert [c["timestamp"] for c in got["chunks"]] == \
+        [c["timestamp"] for c in ref["chunks"]]
