@@ -58,7 +58,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
 
 @functools.partial(jax.jit, static_argnames=("block_q",))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    block_q: int = 768) -> jax.Array:
+                    block_q: int = 1536) -> jax.Array:
+    # block_q default: measured on v5e at large-v3 encoder geometry
+    # (scripts/attn_tune.py, chained calls): 1536 (= whole padded
+    # sequence, one q-block per (b, h) program) 12.4 ms vs 12.7 at 768
+    # and 15.5 XLA eager; the [1536, 1536] f32 score block fits VMEM.
+    # Parity band vs eager on TPU: ~3e-5 absolute at activation scale
+    # 0.1 (was ~2e-5 at block 768) — an order of magnitude below the
+    # bf16 resolution of the surrounding activations.
     """softmax(Q K^T) V with scores kept in VMEM.
 
     q: [B, H, Tq, D] (pre-scaled), k/v: [B, H, Tk, D]. Returns q-shaped.
