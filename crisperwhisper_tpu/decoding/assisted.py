@@ -165,6 +165,12 @@ def assisted_decode(params: Any, arch: WhisperArch,
 
     rows = jnp.arange(b)
 
+    def _pos(v):
+        """Cache positions for decode_step/_multi: at batch 1 the rows
+        share one offset, so pass a SCALAR to keep the fast
+        dynamic-update-slice cache-write path (the vector form scatters)."""
+        return v[0] if b == 1 else v
+
     def cond(c):
         (tokens, lengths, state, finished, *_rest) = c
         return jnp.any(~finished & (lengths < t_total))
@@ -184,7 +190,7 @@ def assisted_decode(params: Any, arch: WhisperArch,
                 dc_k, dc_v, dstate, tok = carry
                 dc = draft_cache._replace(self_k=dc_k, self_v=dc_v)
                 lgt, dc, _ = decode_step(draft_params, draft_arch, tok,
-                                         lengths - 1 + i, dc,
+                                         _pos(lengths - 1 + i), dc,
                                          key_mask=key_mask)
                 nxt = jnp.argmax(proc(lgt, dstate),
                                  axis=-1).astype(jnp.int32)
@@ -204,8 +210,8 @@ def assisted_decode(params: Any, arch: WhisperArch,
         block = jnp.concatenate([feed0[:, None], drafts[:, :s - 1]],
                                 axis=1) if s > 1 else feed0[:, None]
         logits, mcache, align = decode_step_multi(
-            params, arch, block, lengths - 1, mcache, align_sel=align_sel,
-            key_mask=key_mask,
+            params, arch, block, _pos(lengths - 1), mcache,
+            align_sel=align_sel, key_mask=key_mask,
             align_dtype=align_dtype)        # [B, S, V], [B, A, S, K]
 
         # ---- sequential accept over the block (vectorized over rows) ----
