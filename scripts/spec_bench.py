@@ -72,16 +72,19 @@ def main():
                        cross_dtype=jnp.int8)
     tok = jnp.full((1,), sp.sot, jnp.int32)
     blk = jnp.full((1, S), sp.sot, jnp.int32)
-    step_fn = jax.jit(lambda t, c: decode_step(params, arch, t,
-                                               jnp.int32(1), c)[0])
-    multi_fn = jax.jit(lambda t, c: decode_step_multi(params, arch, t,
-                                                      jnp.int32(1), c)[0])
+    # params passed as ARGS, not closed over: closing over large-v3
+    # params embeds multi-GB constants in the program, and the axon
+    # remote-compile upload dies with "Broken pipe" on payloads that big
+    step_fn = jax.jit(lambda p, t, c: decode_step(p, arch, t,
+                                                  jnp.int32(1), c)[0])
+    multi_fn = jax.jit(lambda p, t, c: decode_step_multi(p, arch, t,
+                                                         jnp.int32(1), c)[0])
     dcache = init_cache(draft, draft_arch, enc, cache_len=N_TOKENS + S + 1)
-    dstep_fn = jax.jit(lambda t, c: decode_step(draft, draft_arch, t,
-                                                jnp.int32(1), c)[0])
-    t_step = timeit(step_fn, tok, cache)
-    t_verify = timeit(multi_fn, blk, cache)
-    t_draft = timeit(dstep_fn, tok, dcache)
+    dstep_fn = jax.jit(lambda p, t, c: decode_step(p, draft_arch, t,
+                                                   jnp.int32(1), c)[0])
+    t_step = timeit(step_fn, params, tok, cache)
+    t_verify = timeit(multi_fn, params, blk, cache)
+    t_draft = timeit(dstep_fn, draft, tok, dcache)
     print(f"t_step(main,1tok)   {t_step * 1e3:7.2f} ms")
     print(f"t_verify(main,{S}tok) {t_verify * 1e3:7.2f} ms  "
           f"({t_verify / t_step:.2f}x one step for {S} positions)")
@@ -101,10 +104,10 @@ def main():
 
     t_same = timeit(lambda: run(params, arch, enc))
     t_garb = timeit(lambda: run(draft, draft_arch, enc))
-    g = jax.jit(lambda: greedy_decode_jit(
-        params, arch, sp, opts, enc, prompt, N_TOKENS,
+    g = jax.jit(lambda p, e: greedy_decode_jit(
+        p, arch, sp, opts, e, prompt, N_TOKENS,
         cross_cache_dtype=jnp.int8).sequences)
-    t_greedy = timeit(g)
+    t_greedy = timeit(g, params, enc)
     print(f"e2e {N_TOKENS} tokens: greedy {t_greedy:.3f}s | assisted "
           f"same-draft {t_same:.3f}s | garbage-draft {t_garb:.3f}s")
 
