@@ -147,7 +147,17 @@ class GenerationOptions:
     """Decode-policy configuration (reference: generation_config.json +
     generate(**kwargs) overrides, hf generation_whisper.py:386-661)."""
 
-    max_new_tokens: int = 444                  # <= max_target_positions - 4
+    max_new_tokens: int = 381   # <= max_target_positions - p. Chosen so
+    #                             the standard timestamped pipeline prompt
+    #                             [sot, lang, task] (p=3) gives a self-KV
+    #                             ring of exactly 384 = 3x128 lanes: the
+    #                             seq-last ring pads its last axis to 128
+    #                             lanes, and a non-multiple length pays
+    #                             that padding on EVERY per-step ring read
+    #                             (e.g. 448 -> 512 lanes = 14% waste).
+    #                             381 still far exceeds a 30 s verbatim
+    #                             chunk (~192 tokens at the retokenized
+    #                             vocab's ~2x token rate).
     num_beams: int = 1
     temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
     compression_ratio_threshold: float | None = 2.4

@@ -6,11 +6,13 @@ the device work per iteration is ONE jitted batched decode; everything
 per-row and data-dependent (segment splitting, seek advancing, fallback
 bookkeeping, zlib gates) runs on small host arrays between iterations.
 
-Deviation from the reference by design: the batch is NOT dynamically
-shrunk (no _maybe_reduce_batch); finished rows keep decoding into masked
-results. Static shapes mean one compiled program for the whole audio —
-recompilation would cost far more than the wasted rows. (Batch compaction
-is a later optimization, cf. SURVEY.md §7 "batch shrink becomes masking".)
+Batch shrink (hf generation_whisper.py:1837-1851 _maybe_reduce_batch) is
+implemented as power-of-2 COMPACTION rather than true dynamic shapes:
+finished rows are dropped and the live rows re-packed into the next
+power-of-2 bucket (see the compaction block further down in `generate`),
+so at most log2(B) compiled program shapes exist and XLA never sees a
+dynamic batch. Batched output is pinned equal to per-row decoding by
+tests/test_batch_shrink.py.
 """
 
 from __future__ import annotations

@@ -405,7 +405,12 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     vector_pos = position.ndim > 0                    # per-row positions
 
     x = dec["tok_emb"][tokens].astype(dtype)          # [B, d]
-    x = x + dec["pos_emb"][position].astype(dtype)    # learned pos (:203-208)
+    # learned pos (:203-208); clamped because assisted decoding's spec
+    # overshoot can step up to spec_len-1 past max_target_positions on
+    # rows that are never committed — the clamp makes that contract
+    # explicit instead of relying on XLA's silent OOB-gather clamping
+    pos_clamped = jnp.minimum(position, dec["pos_emb"].shape[0] - 1)
+    x = x + dec["pos_emb"][pos_clamped].astype(dtype)
     x = x[:, None, :]                                 # [B, 1, d]
 
     # causal mask over cache positions: attend to <= position
@@ -634,7 +639,10 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
         pos_vec = position[:, None] + jnp.arange(s)[None, :]   # [B, S]
     else:
         pos_vec = position + jnp.arange(s)                     # [S]
-    x = x + dec["pos_emb"][pos_vec].astype(dtype)
+    # clamped for the same assisted-overshoot contract as decode_step:
+    # uncommitted verify rows may index past max_target_positions
+    x = x + dec["pos_emb"][jnp.minimum(
+        pos_vec, dec["pos_emb"].shape[0] - 1)].astype(dtype)
 
     # causal-within-block mask over ring positions: query at block row i
     # (absolute position position+i) attends to pos <= position+i

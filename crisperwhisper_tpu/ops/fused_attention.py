@@ -74,8 +74,17 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    tq_pad = _round_up(tq, block_q)
     tk_pad = _round_up(tk, 128)
+    # VMEM safety clamp: the kernel materializes a [block_q, Tk_pad] f32
+    # score block plus a same-shape exp block in v.dtype. The 1536
+    # default is tuned for large-v3 encoder geometry (Tk_pad=1536) where
+    # that sum is ~14 MiB; for longer Tk (or smaller scoped-VMEM
+    # backends) shrink block_q so the blocks still fit instead of
+    # failing to compile.
+    per_q_bytes = tk_pad * (4 + jnp.dtype(v.dtype).itemsize)
+    max_bq = max(128, (14 * 1024 * 1024 // per_q_bytes) // 128 * 128)
+    block_q = min(block_q, max_bq)
+    tq_pad = _round_up(tq, block_q)
 
     def to_dt(x, t_pad):          # [B, H, T, D] -> [BH, D, T_pad]
         x = jnp.swapaxes(x, -1, -2).reshape(b * h, d, x.shape[2])

@@ -70,11 +70,13 @@ class StreamingBatcher:
         self._lock = threading.Lock()
         self._next_id = 0
         self._stop = threading.Event()
+        # host-side finalization runs off the device thread; ONE thread,
+        # so tokenizer state is never touched concurrently. Queues exist
+        # BEFORE any thread starts — the worker may finish a batch and
+        # enqueue finalization work immediately.
+        self._finalize_queue: queue.Queue = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
-        # host-side finalization runs off the device thread; ONE thread,
-        # so tokenizer state is never touched concurrently
-        self._finalize_queue: queue.Queue = queue.Queue()
         self._finalizer = threading.Thread(target=self._finalize_loop,
                                            daemon=True)
         self._finalizer.start()
@@ -111,6 +113,14 @@ class StreamingBatcher:
         self._stop.set()
         self._worker.join(timeout=5)
         self._finalizer.join(timeout=5)
+        # the worker can enqueue finalization work after the finalizer's
+        # own drain ran; flush anything left so no future is dropped
+        while True:
+            try:
+                req = self._finalize_queue.get_nowait()
+            except queue.Empty:
+                break
+            self._finalize(req)
 
     # ------------------------------------------------------------------
     def _run(self) -> None:
@@ -166,6 +176,14 @@ class StreamingBatcher:
                 req = self._finalize_queue.get(timeout=0.1)
             except queue.Empty:
                 continue
+            self._finalize(req)
+        # drain on stop: batches whose device work completed must still
+        # deliver their futures, else callers blocked in result() hang
+        while True:
+            try:
+                req = self._finalize_queue.get_nowait()
+            except queue.Empty:
+                break
             self._finalize(req)
 
     def _finalize(self, req: _Request) -> None:
