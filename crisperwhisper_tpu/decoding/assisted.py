@@ -114,6 +114,18 @@ def assisted_decode(params: Any, arch: WhisperArch,
     t_total = p + max_new_tokens
     if t_total > arch.max_target_positions:
         raise ValueError("prompt + max_new exceeds max_target_positions")
+    # Overshoot contract: the draft chain / verify block index learned
+    # positions up to t_total + spec_len - 2 (uncommitted rows included),
+    # so the WHOLE window must stay inside the position table. Validated
+    # here rather than clamped in decode_step/_multi: a jnp.minimum on
+    # the position scalar was measured to break XLA's in-place ring
+    # aliasing (23x decode regression). Callers shrink max_new instead
+    # (see decoding/longform._decode_window).
+    if t_total + s - 1 > arch.max_target_positions:
+        raise ValueError(
+            f"prompt {p} + max_new {max_new_tokens} + spec_len {s} - 1 "
+            f"exceeds max_target_positions {arch.max_target_positions}; "
+            f"reduce max_new_tokens by {t_total + s - 1 - arch.max_target_positions}")
     n_align = align_sel.shape[-1] if align_sel is not None else 1
     eot = specials.eot
     ts_begin = specials.timestamp_begin

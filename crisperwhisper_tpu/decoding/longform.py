@@ -89,9 +89,15 @@ def _decode_window(params, arch, specials, opts, segment_features,
         else:
             draft_params, draft_arch = assistant
             draft_enc = encode(draft_params, draft_arch, segment_features)
+        # spec overshoot must stay inside the learned-position table
+        # (assisted_decode validates prompt+max_new+spec_len-1 <=
+        # max_target_positions); shrink the window budget accordingly
+        p_len = np.asarray(prompt).shape[1]
+        max_new_a = min(max_new, arch.max_target_positions - p_len
+                        - opts.assistant_spec_len + 1)
         res = assisted_decode_jit(
             params, arch, draft_params, draft_arch, specials, opts,
-            encoder_out, draft_enc, jnp.asarray(prompt), max_new,
+            encoder_out, draft_enc, jnp.asarray(prompt), max_new_a,
             opts.assistant_spec_len, suppress_mask=suppress,
             begin_suppress_mask=begin_suppress, align_sel=align_sel,
             return_timestamps=opts.return_timestamps,
