@@ -21,11 +21,20 @@ final JSON line {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = RTFx / 200 (driver target: >=200x per v5e chip,
 BASELINE.json:5).
 
+Extra rows (round 3): a SINGLE-STREAM row (batch=1 — the interactive
+ref:app.py path / hf pipelines base.py:1493 run_single building block)
+reporting per-30s-chunk latency; a PROMPT-LOOKUP speculation row
+(draft-free n-gram assisted decoding on the decode stream — random-init
+greedy output is highly repetitive, like verbatim stutter patterns); and
+a host-postprocessing CALIBRATION on verbatim-statistics tokens (space
+as its own token every other position, ref:README.md:281-283) instead of
+uniform random ids.
+
 Env knobs: BENCH_BATCH, BENCH_TOKEN_ROWS ("128,192,256"), BENCH_ITERS,
 BENCH_KV ("int8"|"int4"|"bf16"), BENCH_SELF_KV ("int8"|"int4"|"bf16"),
-BENCH_W ("int8"|"int4" group-wise|"bf16"). NOTE: BENCH_W=int4 does not
-run on the axon TPU backend — s4 jit arguments trip a backend
-RecursionError (see models/quantize.py); int8 is the serving default.
+BENCH_W ("int8"|"int4" group-wise nibble-packed|"bf16"; int4 runs on the
+TPU backend since the uint8 nibble-packed layout — models/quantize.py),
+BENCH_B1 / BENCH_SPEC ("0" to skip the batch-1 / prompt-lookup rows).
 """
 
 import json
@@ -97,7 +106,6 @@ def main():
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal(
         (BATCH, feat_cfg.n_samples)).astype(np.float32) * 0.1)
-    prompt = jnp.full((BATCH, 1), sp.sot, jnp.int32)
 
     # three separate programs (mel+encode / decode / DTW), exactly like the
     # serving pipeline — one fused program would make the peak HBM usage
@@ -105,17 +113,27 @@ def main():
     enc_fn = jax.jit(lambda p, a: encode(
         p, arch, log_mel_spectrogram(a, feat_cfg, dtype=dtype)))
 
-    def run_device(params, audio, n_tokens):
+    def run_device(params, audio, n_tokens, assistant=False):
+        b = audio.shape[0]
+        prompt = jnp.full((b, 1), sp.sot, jnp.int32)
         enc = enc_fn(params, audio)
-        res = greedy_decode_jit(
-            params, arch, sp, opts, enc, prompt, n_tokens,
-            suppress_mask=suppress, align_sel=align_sel,
-            align_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-            cross_cache_dtype=kv_dtype, self_cache_dtype=self_kv_dtype)
+        common = dict(suppress_mask=suppress, align_sel=align_sel,
+                      align_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                      cross_cache_dtype=kv_dtype,
+                      self_cache_dtype=self_kv_dtype)
+        if assistant:       # draft-free prompt-lookup speculation
+            from crisperwhisper_tpu.decoding.assisted import (
+                assisted_decode_jit)
+            res = assisted_decode_jit(
+                params, arch, None, None, sp, opts, enc, None, prompt,
+                n_tokens, spec_len=5, **common)
+        else:
+            res = greedy_decode_jit(
+                params, arch, sp, opts, enc, prompt, n_tokens, **common)
         jumps = attention_to_jump_times(
             res.align_probs.astype(jnp.float32), 7,
             jnp.maximum(res.num_generated - 1, 0),
-            jnp.full((BATCH,), arch.max_source_positions, jnp.int32),
+            jnp.full((b,), arch.max_source_positions, jnp.int32),
             full_frames=on_tpu)
         return res.sequences, jumps
 
@@ -125,7 +143,7 @@ def main():
         seqs, jumps = out
         return np.asarray(seqs)[0, 0] + np.asarray(jumps)[0, 0]
 
-    def host_postprocess(seqs, jumps, n_tokens):
+    def host_postprocess(seqs, jumps, n_tokens, fold=True):
         """The pipeline's host side on the produced tokens: BPE decode +
         overlap stitcher + word grouping for BATCH consecutive chunks of
         one long audio (strides chunk/6 each side)."""
@@ -134,17 +152,42 @@ def main():
             fold_text_ids, synthetic_standard_tokenizer)
         tok = synthetic_standard_tokenizer(sp)
         chunk_s = float(feat_cfg.chunk_length)
+        nb = seqs.shape[0]
         outputs = []
-        for i in range(BATCH):
-            ids = fold_text_ids(seqs[i, 1:1 + n_tokens], sp)
+        for i in range(nb):
+            ids = (fold_text_ids(seqs[i, 1:1 + n_tokens], sp) if fold
+                   else np.asarray(seqs[i, 1:1 + n_tokens]))
             ts = np.round(jumps[i, :n_tokens] * 0.02, 2)
             left = 0.0 if i == 0 else CHUNK_STRIDE_S
-            right = 0.0 if i == BATCH - 1 else CHUNK_STRIDE_S
+            right = 0.0 if i == nb - 1 else CHUNK_STRIDE_S
             outputs.append({"tokens": ids[None],
                             "token_timestamps": ts[None].astype(np.float64),
                             "stride": (chunk_s, left, right)})
         return decode_asr(tok, outputs, return_timestamps="word",
                           return_language=False, time_precision=0.02)
+
+    def verbatim_calibration_tokens(seqs, n_tokens):
+        """Replace the decoded TEXT ids with verbatim-statistics ids —
+        space as its own token on every other text position (the
+        retokenized-vocab contract, ref:README.md:281-283) — keeping the
+        grammar's timestamp/special tokens where the model put them. This
+        calibrates the host stitch/word-grouping cost against realistic
+        token statistics instead of uniform random bytes."""
+        from crisperwhisper_tpu.tokenizer.bpe import bytes_to_unicode
+        byte_order = list(bytes_to_unicode())           # byte -> encoder id
+        space_id = byte_order.index(32)                 # ' ' slot
+        printable_ids = [byte_order.index(bb) for bb in range(33, 127)]
+        out = np.array(seqs)
+        crng = np.random.default_rng(7)
+        for i in range(out.shape[0]):
+            row = out[i]
+            is_text = row < sp.eot
+            n_txt = int(is_text.sum())
+            words = np.asarray(printable_ids)[
+                crng.integers(0, len(printable_ids), n_txt)]
+            alt = np.where(np.arange(n_txt) % 2 == 1, space_id, words)
+            row[is_text] = alt
+        return out
 
     rows = []
     headline = None
@@ -177,6 +220,71 @@ def main():
             row["n_words"] = len(optional.get("chunks", []))
             if n_tokens == HEADLINE_TOKENS:
                 headline = rtfx_e2e
+        rows.append(row)
+        print(f"# row: {json.dumps(row)}", flush=True)
+
+        if n_tokens == HEADLINE_TOKENS:
+            # host-cost CALIBRATION on verbatim token statistics (space
+            # as its own token every other position) — the real pipeline
+            # decodes language, not uniform random bytes
+            cal_seqs = verbatim_calibration_tokens(seqs, n_tokens)
+            cal_runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _, cal_opt = host_postprocess(cal_seqs, jumps, n_tokens,
+                                              fold=False)
+                cal_runs.append(time.perf_counter() - t0)
+            cal_s = sorted(cal_runs)[1]
+            print(f"# host-calibration: {json.dumps({
+                'tokens_per_chunk': n_tokens,
+                'host_postproc_s_verbatim_stats': round(cal_s, 3),
+                'host_postproc_s_random': row.get('host_postproc_s'),
+                'n_words': len(cal_opt.get('chunks', []))})}", flush=True)
+
+    # ---- single-stream latency (batch=1): the interactive app path ----
+    if os.environ.get("BENCH_B1", "1") != "0":
+        n_tokens = HEADLINE_TOKENS
+        audio1 = audio[:1]
+        materialize(run_device(params, audio1, n_tokens))     # compile
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out1 = run_device(params, audio1, n_tokens)
+            materialize(out1)
+        lat_s = (time.perf_counter() - t0) / ITERS
+        t0 = time.perf_counter()
+        host_postprocess(np.asarray(out1[0]), np.asarray(out1[1]), n_tokens)
+        host1_s = time.perf_counter() - t0
+        row = {"mode": "single_stream", "batch": 1,
+               "tokens_per_chunk": n_tokens,
+               "latency_ms_per_30s_chunk": round(lat_s * 1e3, 1),
+               "host_ms": round(host1_s * 1e3, 1),
+               "rtfx_b1": round(feat_cfg.chunk_length / (lat_s + host1_s),
+                                1)}
+        rows.append(row)
+        print(f"# row: {json.dumps(row)}", flush=True)
+
+    # ---- draft-free prompt-lookup speculation row ---------------------
+    # random-init greedy output is highly repetitive (like verbatim
+    # stutters), so the n-gram lookup genuinely accelerates this stream;
+    # output is exactness-pinned to greedy (tests/test_assisted.py)
+    if os.environ.get("BENCH_SPEC", "1") != "0":
+        n_tokens = HEADLINE_TOKENS
+        materialize(run_device(params, audio, n_tokens, assistant=True))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out_s = run_device(params, audio, n_tokens, assistant=True)
+            materialize(out_s)
+        spec_s = (time.perf_counter() - t0) / ITERS
+        greedy_s = next((audio.shape[0] * feat_cfg.chunk_length /
+                         r["rtfx_device"] for r in rows
+                         if r.get("tokens_per_chunk") == n_tokens
+                         and "rtfx_device" in r), None)
+        row = {"mode": "prompt_lookup_spec", "batch": BATCH,
+               "tokens_per_chunk": n_tokens, "spec_len": 5,
+               "rtfx_device": round(
+                   audio.shape[0] * feat_cfg.chunk_length / spec_s, 1),
+               "speedup_vs_greedy": (round(greedy_s / spec_s, 2)
+                                     if greedy_s else None)}
         rows.append(row)
         print(f"# row: {json.dumps(row)}", flush=True)
 

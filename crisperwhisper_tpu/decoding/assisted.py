@@ -37,6 +37,7 @@ repetitive speech (dictation with corrections, verbatim disfluencies).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any
 
@@ -47,6 +48,31 @@ from ..config import GenerationOptions, SpecialTokens, WhisperArch
 from ..models.whisper import decode_step, decode_step_multi, init_cache
 from .greedy import DecodeResult
 from .processors import TimestampState, process_scores
+
+
+def make_self_draft(params: Any, arch: WhisperArch, num_layers: int
+                    ) -> tuple[Any, WhisperArch]:
+    """Layer-truncated SELF-draft: the first `num_layers` decoder layers
+    of the main checkpoint (plus its embeddings and final LN) act as the
+    assistant — no second trained model needed, and the draft shares the
+    MAIN encoder output (its cross-attention weights were trained against
+    exactly those states). This is the deployment answer to "speculation
+    needs a distil draft": any real checkpoint self-drafts.
+
+    Returns (draft_params, draft_arch). draft_params has NO "encoder"
+    entry — decoding/longform._decode_window detects that and reuses the
+    main encoder output instead of running a second encoder.
+
+    The layer stack is stacked on a leading axis (models/whisper.py), so
+    truncation is one slice per leaf; works on quantized layouts too
+    (w_q/w_q4 carry the same leading layer axis)."""
+    if not 1 <= num_layers <= arch.decoder_layers:
+        raise ValueError(f"num_layers {num_layers} out of range "
+                         f"(decoder has {arch.decoder_layers})")
+    dec = dict(params["decoder"])
+    dec["layers"] = jax.tree.map(lambda x: x[:num_layers], dec["layers"])
+    draft_arch = dataclasses.replace(arch, decoder_layers=num_layers)
+    return {"decoder": dec}, draft_arch
 
 
 def ngram_propose(tokens: jax.Array, lengths: jax.Array, spec_len: int,
@@ -106,26 +132,44 @@ def assisted_decode(params: Any, arch: WhisperArch,
                     cross_cache_dtype: jnp.dtype | None = None,
                     self_cache_dtype: jnp.dtype | None = None,
                     prompt_mask: jax.Array | None = None,
-                    sot_position: int = 0) -> DecodeResult:
+                    sot_position: int = 0,
+                    draft_script: jax.Array | None = None) -> DecodeResult:
+    """draft_script: optional int32 [B, >= p + max_new] BENCH/TEST-ONLY
+    candidate table aligned with the token buffer — the draft for window
+    position t is draft_script[b, t]. Feeding the model's own greedy
+    output gives acceptance 1.0; corrupting a fraction of positions
+    sweeps the acceptance rate while exactness stays pinned (rejected
+    rows fall back to the verified token). Used by
+    scripts/spec_accept_bench.py to publish the RTFx-vs-acceptance curve
+    without a trained draft."""
     b, p = prompt.shape
     s = spec_len
-    use_draft_model = draft_params is not None   # else: prompt lookup
+    use_draft_model = draft_params is not None   # else: script / lookup
     k_frames = encoder_out.shape[1]
     t_total = p + max_new_tokens
     if t_total > arch.max_target_positions:
         raise ValueError("prompt + max_new exceeds max_target_positions")
     # Overshoot contract: the draft chain / verify block index learned
-    # positions up to t_total + spec_len - 2 (uncommitted rows included),
-    # so the WHOLE window must stay inside the position table. Validated
-    # here rather than clamped in decode_step/_multi: a jnp.minimum on
-    # the position scalar was measured to break XLA's in-place ring
-    # aliasing (23x decode regression). Callers shrink max_new instead
-    # (see decoding/longform._decode_window).
-    if t_total + s - 1 > arch.max_target_positions:
-        raise ValueError(
-            f"prompt {p} + max_new {max_new_tokens} + spec_len {s} - 1 "
-            f"exceeds max_target_positions {arch.max_target_positions}; "
-            f"reduce max_new_tokens by {t_total + s - 1 - arch.max_target_positions}")
+    # positions up to t_total + spec_len - 2 — up to spec_len - 1 PAST
+    # the position table when t_total == max_target_positions (only on
+    # rows that are never committed). Make that in-bounds by EXTENDING
+    # the table with spec_len - 1 copies of its last row (matching XLA's
+    # OOB-gather clamp the code used to rely on implicitly). A clamp
+    # inside decode_step is NOT an option (jnp.minimum on the position
+    # scalar breaks XLA's in-place ring aliasing — measured 23x decode
+    # regression), and shrinking max_new would change the ring length vs
+    # plain greedy, perturbing attention rounding enough to flip DTW
+    # timestamp ties (breaks the exactness contract).
+    if s > 1:
+        def _extend_pos(prm):
+            d = dict(prm["decoder"])
+            pe = d["pos_emb"]
+            d["pos_emb"] = jnp.concatenate(
+                [pe, jnp.repeat(pe[-1:], s - 1, axis=0)])
+            return {**prm, "decoder": d}
+        params = _extend_pos(params)
+        if use_draft_model:
+            draft_params = _extend_pos(draft_params)
     n_align = align_sel.shape[-1] if align_sel is not None else 1
     eot = specials.eot
     ts_begin = specials.timestamp_begin
@@ -213,6 +257,13 @@ def assisted_decode(params: Any, arch: WhisperArch,
                 draft_body, (dcache.self_k, dcache.self_v, state, feed0),
                 jnp.arange(s))
             drafts = jnp.swapaxes(drafts, 0, 1)        # [B, S]
+        elif draft_script is not None:
+            # ---- scripted candidates (forced-acceptance harness):
+            # propose the script's tokens for positions lengths..+s-1
+            drafts = jnp.take_along_axis(
+                draft_script.astype(jnp.int32),
+                jnp.clip(lengths[:, None] + jnp.arange(s)[None, :],
+                         0, draft_script.shape[1] - 1), axis=1)
         else:
             # ---- prompt lookup: n-gram continuation of the committed
             # tokens (hf PromptLookupCandidateGenerator analog) ----
@@ -314,7 +365,8 @@ def assisted_decode_jit(params, arch, draft_params, draft_arch, specials,
                         cross_cache_dtype: jnp.dtype | None = None,
                         self_cache_dtype: jnp.dtype | None = None,
                         prompt_mask=None,
-                        sot_position: int = 0) -> DecodeResult:
+                        sot_position: int = 0,
+                        draft_script=None) -> DecodeResult:
     return assisted_decode(params, arch, draft_params, draft_arch, specials,
                            opts, encoder_out, draft_encoder_out, prompt,
                            max_new_tokens=max_new_tokens, spec_len=spec_len,
@@ -326,4 +378,5 @@ def assisted_decode_jit(params, arch, draft_params, draft_arch, specials,
                            cross_cache_dtype=cross_cache_dtype,
                            self_cache_dtype=self_cache_dtype,
                            prompt_mask=prompt_mask,
-                           sot_position=sot_position)
+                           sot_position=sot_position,
+                           draft_script=draft_script)

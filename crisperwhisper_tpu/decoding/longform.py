@@ -88,16 +88,17 @@ def _decode_window(params, arch, specials, opts, segment_features,
             draft_params = draft_arch = draft_enc = None
         else:
             draft_params, draft_arch = assistant
-            draft_enc = encode(draft_params, draft_arch, segment_features)
-        # spec overshoot must stay inside the learned-position table
-        # (assisted_decode validates prompt+max_new+spec_len-1 <=
-        # max_target_positions); shrink the window budget accordingly
-        p_len = np.asarray(prompt).shape[1]
-        max_new_a = min(max_new, arch.max_target_positions - p_len
-                        - opts.assistant_spec_len + 1)
+            if "encoder" in draft_params:
+                draft_enc = encode(draft_params, draft_arch,
+                                   segment_features)
+            else:
+                # layer-truncated SELF-draft (assisted.make_self_draft):
+                # the draft's cross-attention was trained against the
+                # main encoder states — share them, no second encoder run
+                draft_enc = encoder_out
         res = assisted_decode_jit(
             params, arch, draft_params, draft_arch, specials, opts,
-            encoder_out, draft_enc, jnp.asarray(prompt), max_new_a,
+            encoder_out, draft_enc, jnp.asarray(prompt), max_new,
             opts.assistant_spec_len, suppress_mask=suppress,
             begin_suppress_mask=begin_suppress, align_sel=align_sel,
             return_timestamps=opts.return_timestamps,

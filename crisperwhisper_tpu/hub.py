@@ -58,7 +58,8 @@ def load_pipeline(model_dir: str, *,
                   median_filter_width: int | None = None,
                   sharding: Any | None = None,
                   mesh: Any | None = None,
-                  quantize: bool = False) -> ASRPipeline:
+                  quantize: bool = False,
+                  assistant: str | None = None) -> ASRPipeline:
     """Build the full ASR pipeline from a local checkpoint directory —
     the one-call equivalent of ref:transcribe.py:8-31.
 
@@ -70,7 +71,13 @@ def load_pipeline(model_dir: str, *,
     params are tensor-parallel-sharded over "model"
     (parallel/mesh.param_pspecs) and every chunk batch is sharded over
     "data"; pipe_opts.batch_size must be a multiple of the data axis.
-    Mutually exclusive with the lower-level `sharding` pytree."""
+    Mutually exclusive with the lower-level `sharding` pytree.
+
+    assistant: optional speculative-decoding mode — "prompt_lookup"
+    (draft-free n-gram candidates) or "self:K" (layer-truncated
+    self-draft: the checkpoint's own first K decoder layers propose,
+    decoding/assisted.make_self_draft — no second model needed). Output
+    is exactness-pinned to plain greedy either way."""
     cfgs = load_checkpoint_configs(model_dir)
     arch = WhisperArch.from_hf_config(cfgs["config"])
     if mesh is not None and sharding is not None:
@@ -116,10 +123,22 @@ def load_pipeline(model_dir: str, *,
         hop_length=pp.get("hop_length", 160),
         chunk_length=pp.get("chunk_length", 30))
 
+    assistant_obj: Any = None
+    if assistant == "prompt_lookup":
+        assistant_obj = "prompt_lookup"
+    elif isinstance(assistant, str) and assistant.startswith("self:"):
+        from .decoding.assisted import make_self_draft
+        assistant_obj = make_self_draft(params, arch,
+                                        int(assistant.split(":", 1)[1]))
+    elif assistant is not None:
+        raise ValueError(f"unknown assistant mode {assistant!r} "
+                         "(use 'prompt_lookup' or 'self:K')")
+
     specials = specials_from_tokenizer(tokenizer)
     pipe = ASRPipeline(params, arch, tokenizer, specials=specials,
                        gen_opts=opts, pipe_opts=pipe_opts,
-                       feat_cfg=feat_cfg, mesh=mesh)
+                       feat_cfg=feat_cfg, mesh=mesh,
+                       assistant=assistant_obj)
     if language is None and cfgs["generation_config"].get("is_multilingual"):
         pipe.detect_language = True
     return pipe

@@ -68,31 +68,40 @@ def fuse_decoder_qkv(params: Params, head_dim: int) -> Params:
 
 
 def _quantize_dense_int4_grouped(p: Params, group_size: int = 128) -> Params:
-    """GROUP-WISE int4: per-(128-input-channel-group, output-channel)
-    scales. Plain per-channel int4 loses too much weight precision; group
-    scales recover most of it while still halving the per-step weight
-    read vs int8. Layout: w_q4 [(L,) G, gsz, d_out] + w_gscale
-    [(L,) G, d_out]; models/whisper.dense contracts per group and applies
+    """GROUP-WISE int4, NIBBLE-PACKED: per-(128-input-channel-group,
+    output-channel) scales. Plain per-channel int4 loses too much weight
+    precision; group scales recover most of it while still halving the
+    per-step weight read vs int8.
+
+    Storage layout: w_q4 is **uint8** [(L,) G, gsz/2, d_out] — byte j of
+    a group packs input channels j (low nibble) and j + gsz/2 (high
+    nibble), each an offset-8 unsigned nibble of the clipped [-7, 7]
+    value. models/whisper.dense unpacks IN-GRAPH (two shifts + concat on
+    the sublane axis — no interleave) and contracts per group, applying
     the scales on the [.., G, d_out] partials (tiny vs the weight read).
 
-    Backend caveat (measured 2026-08, axon/v5e): s4 arrays cannot be
-    passed as jit ARGUMENTS on the axon backend — device_put of an s4
-    array that needs relayout hits a "Recursively calling jit"
-    RecursionError (even for arrays produced by a jitted program). int4
-    weights therefore work (a) on CPU, and (b) on TPU only when the
-    quantization runs INSIDE the same jitted program as the consumer.
-    The int4 CROSS/SELF caches are unaffected (created in-graph). Serving
-    default stays int8 weights."""
+    Why packed uint8 rather than jnp.int4: s4 arrays cannot be passed as
+    jit ARGUMENTS on the axon backend (device_put of an s4 array needing
+    relayout hits a "Recursively calling jit" RecursionError — measured
+    2026-08). uint8 crosses every jit boundary, so int4 weights now run
+    on the TPU backend too; the unpack is in-graph and fuses into the
+    dot's operand read. The int4 CROSS/SELF caches are unaffected
+    (created in-graph, never jit arguments)."""
     w = p["w"].astype(jnp.float32)
     *lead, d_in, d_out = w.shape
     group_size = min(group_size, d_in)
     assert d_in % group_size == 0, (d_in, group_size)
+    assert group_size % 2 == 0, group_size
     g = d_in // group_size
     wg = w.reshape(*lead, g, group_size, d_out)
     amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
-    w_q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int4)
-    out = {"w_q4": w_q, "w_gscale": scale[..., 0, :].astype(jnp.bfloat16)}
+    w_q = jnp.clip(jnp.round(wg / scale), -7, 7) + 8.0   # [1, 15]
+    half = group_size // 2
+    lo = w_q[..., :half, :].astype(jnp.uint8)
+    hi = w_q[..., half:, :].astype(jnp.uint8)
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    out = {"w_q4": packed, "w_gscale": scale[..., 0, :].astype(jnp.bfloat16)}
     if "b" in p:
         out["b"] = p["b"]
     return out
@@ -114,15 +123,25 @@ def quantize_decoder_weights(params: Params, bits: int = 8) -> Params:
     return {**params, "decoder": dec}
 
 
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [(L,) G, gsz/2, d_out] -> int8 [(L,) G, gsz, d_out]:
+    low nibbles are channels [0, gsz/2), high nibbles [gsz/2, gsz),
+    each offset-8 (see _quantize_dense_int4_grouped)."""
+    lo = (packed & jnp.uint8(0x0F)).astype(jnp.int8) - 8
+    hi = (packed >> jnp.uint8(4)).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
 def dequantize_dense(q: Params) -> jnp.ndarray:
     """Reconstruct the f32 weight from either quantized dense layout
-    (int8 per-channel {"w_q","w_scale"} or grouped int4
+    (int8 per-channel {"w_q","w_scale"} or nibble-packed grouped int4
     {"w_q4","w_gscale"})."""
     if "w_q" in q:
         return q["w_q"].astype(jnp.float32) * q["w_scale"].astype(
             jnp.float32)
-    *lead, g, gsz, d_out = q["w_q4"].shape
-    deq = (q["w_q4"].astype(jnp.float32)
+    w_q = unpack_int4(q["w_q4"])
+    *lead, g, gsz, d_out = w_q.shape
+    deq = (w_q.astype(jnp.float32)
            * q["w_gscale"][..., :, None, :].astype(jnp.float32))
     return deq.reshape(*lead, g * gsz, d_out)
 

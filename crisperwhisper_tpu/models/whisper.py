@@ -64,13 +64,17 @@ def dense(x: jax.Array, p: Params) -> jax.Array:
                        preferred_element_type=x.dtype)
         y = y * p["w_scale"].astype(y.dtype)
     elif "w_q4" in p:
-        # group-wise int4 ({"w_q4": [G, gsz, d_out], "w_gscale":
-        # [G, d_out]}): contract per input-channel group, then fold the
-        # per-group scales on the [.., G, d_out] partials
-        g, gsz, _ = p["w_q4"].shape
+        # group-wise int4, nibble-packed uint8 ({"w_q4": [G, gsz/2,
+        # d_out] uint8, "w_gscale": [G, d_out]}): unpack in-graph (fuses
+        # into the dot's operand read — models/quantize.unpack_int4),
+        # contract per input-channel group, then fold the per-group
+        # scales on the [.., G, d_out] partials
+        from .quantize import unpack_int4
+        w_q = unpack_int4(p["w_q4"])
+        g, gsz, _ = w_q.shape
         xg = x.reshape(*x.shape[:-1], g, gsz)
         part = jnp.einsum("...gi,gio->...go", xg,
-                          p["w_q4"].astype(x.dtype),
+                          w_q.astype(x.dtype),
                           preferred_element_type=x.dtype)
         y = jnp.einsum("...go,go->...o", part,
                        p["w_gscale"].astype(x.dtype),
@@ -382,7 +386,9 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         encoder K/V is never expanded per beam (the reference expands it,
         hf generation expand_inputs; this saves NBx cross-cache memory).
       ablate: PERF-DIAGNOSTIC ONLY — sublayers to skip, any of
-        {"self", "cross", "mlp", "lmhead"}. Skipped sublayers contribute
+        {"self", "cross", "mlp", "lmhead", "selfwrite"} ("selfwrite"
+        keeps the self sublayer but skips the per-layer ring scatters,
+        isolating their cost). Skipped sublayers contribute
         nothing (their HBM traffic disappears); outputs keep their shapes
         and stay data-dependent on the remaining compute so XLA cannot
         dead-code the loop. Used by scripts/dec_split_bench.py to
@@ -467,6 +473,7 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
             # `position`
             k_col = jnp.swapaxes(k_new, -1, -2)
             v_col = jnp.swapaxes(v_new, -1, -2)
+            skip_write = "selfwrite" in ablate     # PERF-DIAGNOSTIC ONLY
             if self_quant:
                 # quantize the new column over Dh; per-position scales are
                 # folded outside the dots exactly like the cross cache
@@ -474,7 +481,9 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
                                         self_qmax, self_k.dtype)
                 v_col, v_sc = _quantize(v_col.astype(jnp.float32), -2,
                                         self_qmax, self_v.dtype)
-                if vector_pos:
+                if skip_write:
+                    pass
+                elif vector_pos:
                     rows = jnp.arange(b)
                     self_ks = self_ks.at[li, rows, :, position].set(
                         k_sc[:, :, 0, 0])
@@ -488,7 +497,9 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
             else:
                 k_col = k_col.astype(dtype)
                 v_col = v_col.astype(dtype)
-            if vector_pos:
+            if skip_write:
+                pass
+            elif vector_pos:
                 rows = jnp.arange(b)
                 self_k = self_k.at[li, rows, :, :, position].set(
                     k_col[:, :, :, 0])
@@ -513,6 +524,15 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
             else:
                 attn_out, _ = seq_last_attention(q, k_all, v_all,
                                                  self_mask)
+            if skip_write:
+                # keep the unwritten column live (diagnostic mode): a
+                # ~1e-30-scaled scalar of the quantized column folds into
+                # the output so XLA can't DCE the quantize/column work
+                dep = (k_col.astype(jnp.float32).sum()
+                       + v_col.astype(jnp.float32).sum())
+                if self_quant:
+                    dep = dep + k_sc.sum() + v_sc.sum()
+                attn_out = attn_out + (dep * 1e-30).astype(attn_out.dtype)
             hidden = hidden + dense(_merge_heads(attn_out), lp["self"]["o"])
         if "cross" not in ablate:
             # --- cross-attention against cached encoder K/V

@@ -34,7 +34,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
+                 fast_exp: str | None = None):
     q = q_ref[0]                                   # [Dh, bq]
     k = k_ref[0]                                   # [Dh, Tk_pad]
     v = v_ref[0]
@@ -48,7 +49,22 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
     # divide runs on the [Dh, bq] output instead (24x fewer lanes); the
     # f32 reassociation stays well inside the kernel's 2e-5 parity band
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)                             # [bq, Tk_pad]
+    x = s - m
+    # the [bq, Tk] exp pass is the kernel's VPU bottleneck at T=1500
+    # (~94G exps per 64-batch encoder pass); accuracy-gated fast paths:
+    #   "bf16":  exp evaluated at bf16 precision (2x lane packing);
+    #            relative softmax error ~4e-3 (tests pin the band)
+    #   "exp2":  exp(x) = exp2(x * log2(e)) in f32 — exact to f32
+    #            rounding; wins only if exp2 beats exp on the VPU
+    if fast_exp == "bf16":
+        e = jnp.exp(x.astype(jnp.bfloat16)).astype(jnp.float32)
+    elif fast_exp == "exp2":
+        e = jnp.exp2(x * jnp.float32(1.4426950408889634))
+    elif fast_exp == "bf16_exp2":
+        e = jnp.exp2((x * jnp.float32(1.4426950408889634))
+                     .astype(jnp.bfloat16)).astype(jnp.float32)
+    else:
+        e = jnp.exp(x)                             # [bq, Tk_pad]
     denom = jnp.sum(e, axis=-1)                    # [bq]
     # o[d, q] = (sum_t v[d, t] * e[q, t]) / denom[q]
     o = jax.lax.dot_general(v, e.astype(v.dtype), (((1,), (1,)), ((), ())),
@@ -56,9 +72,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
     o_ref[0] = (o / denom[None, :]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
+@functools.partial(jax.jit, static_argnames=("block_q", "fast_exp"))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    block_q: int = 1536) -> jax.Array:
+                    block_q: int = 1536,
+                    fast_exp: str | None = None) -> jax.Array:
     # block_q default: measured on v5e at large-v3 encoder geometry
     # (scripts/attn_tune.py, chained calls): 1536 (= whole padded
     # sequence, one q-block per (b, h) program) 12.4 ms vs 12.7 at 768
@@ -98,7 +115,7 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     grid = (b * h, tq_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, kv_len=tk),
+        functools.partial(_attn_kernel, kv_len=tk, fast_exp=fast_exp),
         out_shape=jax.ShapeDtypeStruct((b * h, d, tq_pad), q.dtype),
         grid=grid,
         in_specs=[

@@ -42,7 +42,8 @@ def _col_parallel(leaf: str) -> P | None:
     """Specs for a COLUMN-parallel dense (outputs split over "model"),
     covering the plain, int8 and grouped-int4 weight layouts
     (models/quantize.py): w [L,di,do], w_q [L,di,do], w_scale [L,1,do],
-    w_q4 [L,G,gsz,do], w_gscale [L,G,do], b [L,do]."""
+    w_q4 [L,G,gsz/2,do] (nibble-packed uint8), w_gscale [L,G,do],
+    b [L,do]."""
     return {
         "w": P(None, None, "model"),
         "w_q": P(None, None, "model"),

@@ -69,12 +69,18 @@ class ASRPipeline:
                  gen_opts: GenerationOptions = GenerationOptions(),
                  pipe_opts: PipelineOptions = PipelineOptions(),
                  feat_cfg: FeatureConfig | None = None,
-                 mesh: Any | None = None):
+                 mesh: Any | None = None,
+                 assistant: Any | None = None):
         """mesh: optional jax.sharding.Mesh ("data", "model") — serve the
         pipeline multi-chip: params are expected TP-sharded over "model"
         (parallel/mesh.shard_params; hub.load_pipeline(mesh=...) does it)
         and each chunk batch is device_put sharded over "data". The
-        reference has no multi-device serving at all (SURVEY.md §2.8)."""
+        reference has no multi-device serving at all (SURVEY.md §2.8).
+
+        assistant: optional speculative-decoding assistant passed through
+        to generate(): a (draft_params, draft_arch) tuple (e.g.
+        decoding.assisted.make_self_draft) or "prompt_lookup". When None,
+        gen_opts.prompt_lookup still enables the draft-free mode."""
         self.params = params
         self.arch = arch
         self.tokenizer = tokenizer
@@ -84,6 +90,7 @@ class ASRPipeline:
         self.feat_cfg = feat_cfg or FeatureConfig(
             feature_size=arch.num_mel_bins)
         self.mesh = mesh
+        self.assistant = assistant
         if mesh is not None:
             data = mesh.shape["data"]
             if pipe_opts.batch_size % data:
@@ -201,8 +208,10 @@ class ASRPipeline:
                            detect_language_first=(self.detect_language
                                                   and lang_tok is None),
                            batch_sharding=data_shard,
-                           assistant=("prompt_lookup" if opts.prompt_lookup
-                                      else None))
+                           assistant=(self.assistant if self.assistant
+                                      is not None else
+                                      ("prompt_lookup" if opts.prompt_lookup
+                                       else None)))
             for i, c in enumerate(group):
                 segs = gen.segments[i]
                 toks = (np.concatenate([np.asarray(s["tokens"])

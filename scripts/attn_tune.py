@@ -77,6 +77,20 @@ def main():
         print(f"pallas block_q={bq:4d} {dt * 1e3:7.1f} ms  MFU "
               f"{flops / dt / PEAK * 100:5.1f}%", flush=True)
 
+    # fast-exp sweep (accuracy-gated softmax variants; EXPS env to pick)
+    exps = [x for x in os.environ.get(
+        "EXPS", "bf16,exp2,bf16_exp2").split(",") if x]
+    ref = np.asarray(fused_attention(q, k, v), np.float32)
+    for fe in exps:
+        fn = chain(lambda q, k, v, fe=fe: fused_attention(q, k, v,
+                                                          fast_exp=fe))
+        dt = timeit(fn, q, k, v)
+        got = np.asarray(fused_attention(q, k, v, fast_exp=fe), np.float32)
+        err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        print(f"pallas exp={fe:10s} {dt * 1e3:7.1f} ms  MFU "
+              f"{flops / dt / PEAK * 100:5.1f}%  max-rel-err {err:.2e}",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -37,6 +37,7 @@ RING = int(os.environ.get("RING", "256"))
 VARIANTS = {
     # name: sublayers removed
     "full": frozenset(),
+    "-selfwrite": frozenset({"selfwrite"}),   # ring scatters only
     "-lmhead": frozenset({"lmhead"}),
     "-cross": frozenset({"cross"}),
     "-self": frozenset({"self"}),

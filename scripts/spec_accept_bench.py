@@ -1,0 +1,118 @@
+"""RTFx-vs-acceptance curve for assisted decoding (large-v3, real TPU).
+
+The end-to-end value of speculation depends on the draft's acceptance
+rate — which needs a TRAINED draft to measure directly. This harness
+separates mechanism from model: a SCRIPTED draft (assisted_decode's
+draft_script) feeds the main model's own greedy output back as
+candidates, corrupted at a controlled rate, so the acceptance rate is
+swept WITHOUT any draft model while the committed output stays
+byte-identical to greedy (exactness contract, tests/test_assisted.py).
+
+The published curve answers: "if my draft accepts at rate a, what
+decode speedup do I get on this hardware?" — the missing number the
+round-2 review called out. A corruption rate c on script positions
+yields windows that commit until the first corrupted slot; acceptance
+is measured (committed tokens per verify window / spec_len) rather than
+assumed.
+
+Usage: python scripts/spec_accept_bench.py [batch] [n_tokens]
+Env: ITERS (default 3), SPEC_LEN (default 5),
+     ACCEPT ("1.0,0.75,0.5,0.25,0.0" corruption-free fractions).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from crisperwhisper_tpu.config import (GenerationOptions, SpecialTokens,
+                                       WhisperArch)
+from crisperwhisper_tpu.decoding.assisted import assisted_decode_jit
+from crisperwhisper_tpu.decoding.greedy import greedy_decode_jit
+from crisperwhisper_tpu.decoding.processors import suppress_tokens_mask
+from crisperwhisper_tpu.models import alignment_selector, encode, init_params
+from crisperwhisper_tpu.models.quantize import (fuse_decoder_qkv,
+                                                quantize_decoder_weights)
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+N_TOKENS = int(sys.argv[2]) if len(sys.argv) > 2 else 192
+ITERS = int(os.environ.get("ITERS", "3"))
+SPEC_LEN = int(os.environ.get("SPEC_LEN", "5"))
+FRACS = [float(x) for x in os.environ.get(
+    "ACCEPT", "1.0,0.75,0.5,0.25,0.0").split(",")]
+
+
+def main():
+    arch = WhisperArch.large_v3()
+    sp = SpecialTokens()
+    params = quantize_decoder_weights(
+        fuse_decoder_qkv(init_params(arch, jax.random.PRNGKey(0),
+                                     dtype=jnp.bfloat16), arch.head_dim))
+    heads = tuple(((2 + 2 * i) % arch.decoder_layers,
+                   i % arch.decoder_attention_heads) for i in range(15))
+    align_sel = jnp.asarray(alignment_selector(arch, heads))
+    suppress = jnp.asarray(suppress_tokens_mask(arch.vocab_size, (sp.eot,)))
+    opts = GenerationOptions(max_initial_timestamp_index=50)
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal(
+        (B, arch.num_mel_bins, 2 * arch.max_source_positions)
+    ).astype(np.float32) * 0.1
+    enc = encode(params, arch, jnp.asarray(mel, jnp.bfloat16))
+    enc.block_until_ready()
+    prompt = jnp.full((B, 1), sp.sot, jnp.int32)
+    kw = dict(suppress_mask=suppress, align_sel=align_sel,
+              align_dtype=jnp.bfloat16, cross_cache_dtype=jnp.int4,
+              self_cache_dtype=jnp.int8)
+
+    def time_fn(fn):
+        fn()                                          # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            fn()
+        return (time.perf_counter() - t0) / ITERS
+
+    # ---- plain greedy baseline --------------------------------------
+    def run_greedy():
+        r = greedy_decode_jit(params, arch, sp, opts, enc, prompt,
+                              N_TOKENS, **kw)
+        return np.asarray(r.sequences)
+
+    t_greedy = time_fn(run_greedy)
+    ref_seq = run_greedy()
+    print(f"greedy             {t_greedy:7.3f} s "
+          f"= {t_greedy / N_TOKENS * 1e3:6.2f} ms/tok", flush=True)
+
+    # ---- scripted-draft sweep ---------------------------------------
+    for frac in FRACS:
+        script = ref_seq.astype(np.int32).copy()
+        if frac < 1.0:
+            crng = np.random.default_rng(17)
+            corrupt = crng.random(script.shape) > frac
+            corrupt[:, 0] = False                     # keep prompt slot
+            script = np.where(
+                corrupt, (script + 11) % (sp.timestamp_begin - 1), script)
+        script_j = jnp.asarray(script)
+
+        def run_assisted():
+            r = assisted_decode_jit(params, arch, None, None, sp, opts,
+                                    enc, None, prompt, N_TOKENS,
+                                    spec_len=SPEC_LEN,
+                                    draft_script=script_j, **kw)
+            return np.asarray(r.sequences)
+
+        t_a = time_fn(run_assisted)
+        seq = run_assisted()
+        exact = bool((seq == ref_seq).all())
+        print(f"script frac={frac:4.2f}  {t_a:7.3f} s "
+              f"= {t_a / N_TOKENS * 1e3:6.2f} ms/tok  "
+              f"speedup {t_greedy / t_a:4.2f}x  exact={exact}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -248,3 +248,85 @@ def test_ngram_propose_fuzz_vs_python_reference():
             want = py_ref(list(toks[r]), int(lengths[r]), S, (3, 2), F)
             np.testing.assert_array_equal(got[r], want,
                                           err_msg=f"trial {trial} row {r}")
+
+
+def test_scripted_draft_exactness_and_acceptance():
+    """Forced-acceptance harness (scripts/spec_accept_bench.py machinery):
+    a draft_script equal to the model's own greedy output is fully
+    accepted; a corrupted script still yields exactly the greedy output
+    (rejected positions fall back to the verified token)."""
+    arch, params, _, enc, _, opts, sel = _setup()
+    prompt = jnp.full((1, 1), TINY_SPECIALS.sot, jnp.int32)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            MAX_NEW, align_sel=sel)
+    script = jnp.asarray(ref.sequences, jnp.int32)        # acceptance 1.0
+    got = assisted_decode_jit(params, arch, None, None, TINY_SPECIALS,
+                              opts, enc, None, prompt, MAX_NEW,
+                              spec_len=4, align_sel=sel,
+                              draft_script=script)
+    _compare(ref, got)
+    # corrupt every third scripted position: exactness must hold
+    bad = np.asarray(script).copy()
+    bad[:, ::3] = (bad[:, ::3] + 11) % arch.vocab_size
+    got2 = assisted_decode_jit(params, arch, None, None, TINY_SPECIALS,
+                               opts, enc, None, prompt, MAX_NEW,
+                               spec_len=4, align_sel=sel,
+                               draft_script=jnp.asarray(bad))
+    _compare(ref, got2)
+
+
+def test_self_draft_truncated_layers_equals_greedy():
+    """Layer-truncated SELF-draft (make_self_draft): the first K decoder
+    layers of the main model propose against the MAIN encoder output;
+    committed output must equal plain greedy."""
+    from crisperwhisper_tpu.decoding.assisted import make_self_draft
+
+    arch, params, _, enc, _, opts, sel = _setup()
+    draft_params, draft_arch = make_self_draft(params, arch, 2)
+    assert "encoder" not in draft_params
+    assert draft_arch.decoder_layers == 2
+    prompt = jnp.full((1, 1), TINY_SPECIALS.sot, jnp.int32)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                            MAX_NEW, align_sel=sel)
+    got = assisted_decode_jit(params, arch, draft_params, draft_arch,
+                              TINY_SPECIALS, opts, enc, enc, prompt,
+                              MAX_NEW, spec_len=4, align_sel=sel)
+    _compare(ref, got)
+
+
+def test_pipeline_speculation_under_seek_and_fallback(tmp_path):
+    """Pipeline-level contract: a full ASRPipeline with a self-draft
+    assistant — seek loop, temperature-fallback gates ON, stitcher, word
+    timestamps — produces byte-identical transcripts to the plain
+    pipeline (the fallback ladder sees identical tokens/scores because
+    the assisted path is exactness-pinned)."""
+    from vocab_fixture import build_model_vocab_dir, our_tokenizer
+
+    from crisperwhisper_tpu.config import FeatureConfig, PipelineOptions
+    from crisperwhisper_tpu.decoding.assisted import make_self_draft
+    from crisperwhisper_tpu.pipeline.asr import ASRPipeline
+
+    vocab_dir = str(tmp_path / "vocab")
+    build_model_vocab_dir(vocab_dir)
+    tok = our_tokenizer(vocab_dir)
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    opts = GenerationOptions(max_initial_timestamp_index=50,
+                             max_new_tokens=16,
+                             temperatures=(0.0, 0.5),
+                             assistant_spec_len=3,
+                             alignment_heads=((0, 1), (1, 2)))
+    popts = PipelineOptions(chunk_length_s=5.0, batch_size=4,
+                            return_timestamps="word")
+    feat = FeatureConfig(feature_size=arch.num_mel_bins, chunk_length=5)
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(11 * 16000) * 0.1).astype(np.float32)
+    plain = ASRPipeline(params, arch, tok, specials=TINY_SPECIALS,
+                        gen_opts=opts, pipe_opts=popts, feat_cfg=feat)(
+        {"raw": audio, "sampling_rate": 16000}, return_timestamps="word")
+    spec = ASRPipeline(params, arch, tok, specials=TINY_SPECIALS,
+                       gen_opts=opts, pipe_opts=popts, feat_cfg=feat,
+                       assistant=make_self_draft(params, arch, 2))(
+        {"raw": audio, "sampling_rate": 16000}, return_timestamps="word")
+    assert spec["text"] == plain["text"]
+    assert spec["chunks"] == plain["chunks"]

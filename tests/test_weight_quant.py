@@ -95,7 +95,10 @@ def test_int4_grouped_dense_impl_exact():
     b = jnp.asarray(rng.standard_normal((128,)).astype(np.float32) * .01)
     x = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
     q = _quantize_dense_int4_grouped({"w": w, "b": b}, group_size=32)
-    deq = (q["w_q4"].astype(jnp.float32)
+    assert q["w_q4"].dtype == jnp.uint8          # nibble-packed storage
+    assert q["w_q4"].shape == (2, 16, 128)       # [G, gsz/2, d_out]
+    from crisperwhisper_tpu.models.quantize import unpack_int4
+    deq = (unpack_int4(q["w_q4"]).astype(jnp.float32)
            * q["w_gscale"][:, None, :].astype(jnp.float32)).reshape(64, 128)
     np.testing.assert_allclose(np.asarray(dense(x, q)),
                                np.asarray(x @ deq + b), atol=1e-6)
@@ -114,8 +117,10 @@ def test_int4_grouped_dequant_error_bound():
     params = init_params(arch, jax.random.PRNGKey(1))
     p = {"w": params["decoder"]["layers"]["mlp"]["fc1"]["w"][0]}
     q = _quantize_dense_int4_grouped(p, group_size=64)
-    g, gsz, dout = q["w_q4"].shape
-    deq = (q["w_q4"].astype(jnp.float32)
+    from crisperwhisper_tpu.models.quantize import unpack_int4
+    w_q = unpack_int4(q["w_q4"])
+    g, gsz, dout = w_q.shape
+    deq = (w_q.astype(jnp.float32)
            * q["w_gscale"][:, None, :].astype(jnp.float32)
            ).reshape(g * gsz, dout)
     err = np.abs(np.asarray(deq) - np.asarray(p["w"], np.float32))
