@@ -263,33 +263,38 @@ def main():
         rows.append(row)
         print(f"# row: {json.dumps(row)}", flush=True)
 
-    # ---- draft-free prompt-lookup speculation row ---------------------
-    # random-init greedy output is highly repetitive (like verbatim
-    # stutters), so the n-gram lookup genuinely accelerates this stream;
-    # output is exactness-pinned to greedy (tests/test_assisted.py)
+    # ---- draft-free prompt-lookup speculation row (batch 1) -----------
+    # Speculation is the SINGLE-STREAM LATENCY lever: the measured
+    # acceptance curve (scripts/spec_accept_bench.py) gives 1.7x at full
+    # acceptance / break-even ~0.3 at B=1, while at B=64 the per-row
+    # vector-position cache writes cost more than the amortization wins
+    # (0.86x even at acceptance 1.0) — batched throughput stays plain
+    # greedy. Random-init greedy output is highly repetitive (like
+    # verbatim stutters), so the n-gram lookup genuinely fires here;
+    # output is exactness-pinned to greedy (tests/test_assisted.py).
     if os.environ.get("BENCH_SPEC", "1") != "0":
         n_tokens = HEADLINE_TOKENS
-        materialize(run_device(params, audio, n_tokens, assistant=True))
+        audio1 = audio[:1]
+        materialize(run_device(params, audio1, n_tokens, assistant=True))
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            out_s = run_device(params, audio, n_tokens, assistant=True)
+            out_s = run_device(params, audio1, n_tokens, assistant=True)
             materialize(out_s)
         spec_s = (time.perf_counter() - t0) / ITERS
-        greedy_s = next((audio.shape[0] * feat_cfg.chunk_length /
-                         r["rtfx_device"] for r in rows
-                         if r.get("tokens_per_chunk") == n_tokens
-                         and "rtfx_device" in r), None)
-        row = {"mode": "prompt_lookup_spec", "batch": BATCH,
+        plain_s = next((r["latency_ms_per_30s_chunk"] / 1e3 for r in rows
+                        if r.get("mode") == "single_stream"), None)
+        row = {"mode": "prompt_lookup_spec", "batch": 1,
                "tokens_per_chunk": n_tokens, "spec_len": 5,
-               "rtfx_device": round(
-                   audio.shape[0] * feat_cfg.chunk_length / spec_s, 1),
-               "speedup_vs_greedy": (round(greedy_s / spec_s, 2)
-                                     if greedy_s else None)}
+               "latency_ms_per_30s_chunk": round(spec_s * 1e3, 1),
+               "speedup_vs_greedy_b1": (round(plain_s / spec_s, 2)
+                                        if plain_s else None)}
         rows.append(row)
         print(f"# row: {json.dumps(row)}", flush=True)
 
     if headline is None:                    # HEADLINE_TOKENS not in rows
-        headline = rows[-1].get("rtfx_e2e", rows[-1]["rtfx_device"])
+        headline = next((r.get("rtfx_e2e", r.get("rtfx_device"))
+                         for r in reversed(rows)
+                         if "rtfx_e2e" in r or "rtfx_device" in r), 0.0)
     print(json.dumps({
         "metric": f"RTFx {('large-v3' if on_tpu else 'tiny-cpu')} e2e "
                   f"30s-chunk pipeline (mel+enc+{HEADLINE_TOKENS}tok-decode"

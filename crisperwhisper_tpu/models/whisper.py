@@ -486,9 +486,11 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
                 elif vector_pos:
                     rows = jnp.arange(b)
                     self_ks = self_ks.at[li, rows, :, position].set(
-                        k_sc[:, :, 0, 0])
+                        k_sc[:, :, 0, 0], unique_indices=True,
+                        mode="promise_in_bounds")
                     self_vs = self_vs.at[li, rows, :, position].set(
-                        v_sc[:, :, 0, 0])
+                        v_sc[:, :, 0, 0], unique_indices=True,
+                        mode="promise_in_bounds")
                 else:
                     self_ks = jax.lax.dynamic_update_slice(
                         self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
@@ -502,9 +504,11 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
             elif vector_pos:
                 rows = jnp.arange(b)
                 self_k = self_k.at[li, rows, :, :, position].set(
-                    k_col[:, :, :, 0])
+                    k_col[:, :, :, 0], unique_indices=True,
+                    mode="promise_in_bounds")
                 self_v = self_v.at[li, rows, :, :, position].set(
-                    v_col[:, :, :, 0])
+                    v_col[:, :, :, 0], unique_indices=True,
+                    mode="promise_in_bounds")
             else:
                 self_k = jax.lax.dynamic_update_slice(
                     self_k, k_col[None], (li, 0, 0, 0, position))
@@ -714,9 +718,11 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
             if vector_pos:
                 rows = jnp.arange(b)[:, None]
                 self_ks = self_ks.at[li, rows, :, pos_vec].set(
-                    jnp.swapaxes(k_sc[:, :, 0, :], 1, 2))   # [B, S, H]
+                    jnp.swapaxes(k_sc[:, :, 0, :], 1, 2),   # [B, S, H]
+                    unique_indices=True, mode="promise_in_bounds")
                 self_vs = self_vs.at[li, rows, :, pos_vec].set(
-                    jnp.swapaxes(v_sc[:, :, 0, :], 1, 2))
+                    jnp.swapaxes(v_sc[:, :, 0, :], 1, 2),
+                    unique_indices=True, mode="promise_in_bounds")
             else:
                 self_ks = jax.lax.dynamic_update_slice(
                     self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
@@ -729,9 +735,11 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
             rows = jnp.arange(b)[:, None]
             # k_blk [B, H, Dh, S] -> scatter rows of [B, S, H, Dh]
             self_k = self_k.at[li, rows, :, :, pos_vec].set(
-                jnp.transpose(k_blk, (0, 3, 1, 2)))
+                jnp.transpose(k_blk, (0, 3, 1, 2)),
+                unique_indices=True, mode="promise_in_bounds")
             self_v = self_v.at[li, rows, :, :, pos_vec].set(
-                jnp.transpose(v_blk, (0, 3, 1, 2)))
+                jnp.transpose(v_blk, (0, 3, 1, 2)),
+                unique_indices=True, mode="promise_in_bounds")
         else:
             self_k = jax.lax.dynamic_update_slice(
                 self_k, k_blk[None], (li, 0, 0, 0, position))

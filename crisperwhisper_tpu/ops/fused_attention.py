@@ -50,12 +50,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
     # f32 reassociation stays well inside the kernel's 2e-5 parity band
     m = jnp.max(s, axis=-1, keepdims=True)
     x = s - m
-    # the [bq, Tk] exp pass is the kernel's VPU bottleneck at T=1500
-    # (~94G exps per 64-batch encoder pass); accuracy-gated fast paths:
-    #   "bf16":  exp evaluated at bf16 precision (2x lane packing);
-    #            relative softmax error ~4e-3 (tests pin the band)
-    #   "exp2":  exp(x) = exp2(x * log2(e)) in f32 — exact to f32
-    #            rounding; wins only if exp2 beats exp on the VPU
+    # fast_exp: MEASUREMENT HOOKS, not serving paths. Round-3 sweep
+    # (experiments/README.md "fast-exp sweep") showed the kernel is NOT
+    # exp-bound — replacing exp with one multiply ("noexp") changes
+    # nothing (12.8 vs 12.7 ms at B=64), bf16 exp is SLOWER (cast
+    # round-trip), exp2 is bit-identical in cost. The ~30% MFU ceiling
+    # is the Dh=64-vs-128-wide-MXU geometry. Exact f32 exp stays the
+    # default; variants kept for reproducibility:
     if fast_exp == "bf16":
         e = jnp.exp(x.astype(jnp.bfloat16)).astype(jnp.float32)
     elif fast_exp == "exp2":
@@ -63,6 +64,11 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
     elif fast_exp == "bf16_exp2":
         e = jnp.exp2((x * jnp.float32(1.4426950408889634))
                      .astype(jnp.bfloat16)).astype(jnp.float32)
+    elif fast_exp == "noexp":
+        # TIMING DIAGNOSTIC ONLY (wrong numerics): replaces the exp with
+        # one multiply to measure how much of the kernel is actually
+        # transcendental-bound
+        e = x * jnp.float32(1e-4) + jnp.float32(1.0)
     else:
         e = jnp.exp(x)                             # [bq, Tk_pad]
     denom = jnp.sum(e, axis=-1)                    # [bq]

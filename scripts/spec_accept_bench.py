@@ -108,10 +108,43 @@ def main():
 
         t_a = time_fn(run_assisted)
         seq = run_assisted()
-        exact = bool((seq == ref_seq).all())
+        # token agreement, not exactness: near-flat random-weight logits
+        # in bf16 flip argmax ties between the single-step and
+        # multi-token-verify paths (one flip cascades the row); the
+        # BIT-exactness contract is pinned in f32 by
+        # tests/test_assisted.py. On trained checkpoints (peaked logits)
+        # agreement is effectively total.
+        agree = float((seq == ref_seq).mean())
         print(f"script frac={frac:4.2f}  {t_a:7.3f} s "
               f"= {t_a / N_TOKENS * 1e3:6.2f} ms/tok  "
-              f"speedup {t_greedy / t_a:4.2f}x  exact={exact}", flush=True)
+              f"speedup {t_greedy / t_a:4.2f}x  agree={agree:.3f}",
+              flush=True)
+
+    # ---- layer-truncated self-draft mechanism cost (SELF_DRAFT=K) -----
+    # With random weights the truncated draft's acceptance is ~chance, so
+    # the speedup column is NOT the deployment number — this row measures
+    # the MECHANISM cost of a K-layer draft chain (the delta vs the
+    # scripted frac=0.0 row is the pure draft-forward cost; combine with
+    # the scripted acceptance curve to project a trained checkpoint:
+    # speedup(a) ~ curve(a) shifted down by that delta).
+    if os.environ.get("SELF_DRAFT"):
+        from crisperwhisper_tpu.decoding.assisted import make_self_draft
+        dk = int(os.environ["SELF_DRAFT"])
+        dparams, darch = make_self_draft(params, arch, dk)
+
+        def run_self():
+            r = assisted_decode_jit(params, arch, dparams, darch, sp,
+                                    opts, enc, enc, prompt, N_TOKENS,
+                                    spec_len=SPEC_LEN, **kw)
+            return np.asarray(r.sequences)
+
+        t_s = time_fn(run_self)
+        agree = float((run_self() == ref_seq).mean())
+        print(f"self-draft K={dk:<3d} {t_s:7.3f} s "
+              f"= {t_s / N_TOKENS * 1e3:6.2f} ms/tok  "
+              f"speedup {t_greedy / t_s:4.2f}x  agree={agree:.3f} "
+              f"(random-weight acceptance ~chance; mechanism-cost row)",
+              flush=True)
 
 
 if __name__ == "__main__":
