@@ -164,6 +164,22 @@ class GenerationOptions:
     logprob_threshold: float | None = -1.0
     no_speech_threshold: float | None = 0.6
     condition_on_prev_tokens: bool = False
+    condition_mode: str = "static"  # positional semantics of the
+    #                                 left-padded prev-conditioned prompt:
+    #                                 "static"  = pads CONSUME learned
+    #                                 positions (HF padding='max_length'
+    #                                 static-cache mode, hf
+    #                                 generation_whisper.py:1913-1921);
+    #                                 "dynamic" = mask-aware positions —
+    #                                 real tokens take 0..len-1, pads take
+    #                                 none (HF default padding='longest'
+    #                                 + decoder_position_ids =
+    #                                 cumsum(mask)-1, hf generation/
+    #                                 utils.py "Create missing
+    #                                 position_ids on the fly"). Same
+    #                                 static shapes either way: dynamic
+    #                                 mode only shifts the pos_emb gather
+    #                                 by a per-row offset.
     return_timestamps: bool = True
     return_token_timestamps: bool = True
     median_filter_width: int = 7               # app overrides to 3 (ref:app.py:41)
@@ -203,6 +219,20 @@ class PipelineOptions:
     stride_length_s: tuple[float, float] | None = None   # default chunk/6 each side
     batch_size: int = 16
     return_timestamps: str | bool = "word"
+    assistant_max_batch: int | None = None  # latency-adaptive speculation:
+    #                                 use the pipeline's assistant (draft
+    #                                 model / self:K / prompt_lookup) only
+    #                                 for device batches of at most this
+    #                                 many rows. The measured crossover
+    #                                 (scripts/spec_accept_bench.py, v5e):
+    #                                 speculation is ~1.7-2x at batch 1
+    #                                 but LOSES at large batch (0.86x at
+    #                                 B=64 even with a perfect draft), so
+    #                                 assistant_max_batch=1 gives
+    #                                 interactive single-chunk requests
+    #                                 the speculative fast path while
+    #                                 full batches stay plain greedy.
+    #                                 None = use the assistant always.
 
     def strides(self) -> tuple[float, float]:
         if self.stride_length_s is None:

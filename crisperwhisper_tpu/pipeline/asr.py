@@ -202,16 +202,23 @@ class ASRPipeline:
                        else jax.device_put(batch, data_shard))
             feats = extract_features(batch_j, self.feat_cfg)
             lang_tok = self._language_token()
+            assistant = (self.assistant if self.assistant is not None
+                         else ("prompt_lookup" if opts.prompt_lookup
+                               else None))
+            # latency-adaptive speculation (PipelineOptions
+            # .assistant_max_batch): speculation wins at small batch and
+            # loses at large batch on TPU, so gate the assistant on the
+            # compiled batch size of THIS group
+            amb = self.pipe_opts.assistant_max_batch
+            if amb is not None and gb > amb:
+                assistant = None
             gen = generate(self.params, self.arch, self.specials, opts,
                            feats, num_frames=num_frames,
                            language_token=lang_tok,
                            detect_language_first=(self.detect_language
                                                   and lang_tok is None),
                            batch_sharding=data_shard,
-                           assistant=(self.assistant if self.assistant
-                                      is not None else
-                                      ("prompt_lookup" if opts.prompt_lookup
-                                       else None)))
+                           assistant=assistant)
             for i, c in enumerate(group):
                 segs = gen.segments[i]
                 toks = (np.concatenate([np.asarray(s["tokens"])

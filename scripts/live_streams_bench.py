@@ -107,12 +107,16 @@ def main():
     inputs = [{"raw": a, "sampling_rate": 16000} for a in streams]
 
     # warm/compile: one direct call compiles the [batch]-shaped programs
+    t0 = time.perf_counter()
     pipe(inputs[0], return_timestamps="word")
+    print(f"# warm/compile: {time.perf_counter() - t0:.1f} s", flush=True)
 
     # ---- no-batching baseline: direct sequential pipeline calls -------
     t0 = time.perf_counter()
-    for x in inputs:
+    for i, x in enumerate(inputs):
         pipe(x, return_timestamps="word")
+        print(f"# sequential {i + 1}/{n_streams}: "
+              f"{time.perf_counter() - t0:.1f} s cumulative", flush=True)
     seq_wall = time.perf_counter() - t0
 
     # ---- burst of N concurrent streams through the batcher ------------
