@@ -133,8 +133,15 @@ def assisted_decode(params: Any, arch: WhisperArch,
                     self_cache_dtype: jnp.dtype | None = None,
                     prompt_mask: jax.Array | None = None,
                     sot_position: int = 0,
+                    pos_offset: jax.Array | None = None,
                     draft_script: jax.Array | None = None) -> DecodeResult:
-    """draft_script: optional int32 [B, >= p + max_new] BENCH/TEST-ONLY
+    """pos_offset: optional int32 [B] per-row left-pad count of the
+    conditioned prompt — shifts the learned-position gather only (the
+    dynamic condition-on-prev mode; see models/whisper.decode_step).
+    Applied identically to the draft chain and the verify block, so the
+    exactness contract vs greedy_decode(pos_offset=...) holds unchanged.
+
+    draft_script: optional int32 [B, >= p + max_new] BENCH/TEST-ONLY
     candidate table aligned with the token buffer — the draft for window
     position t is draft_script[b, t]. Feeding the model's own greedy
     output gives acceptance 1.0; corrupting a fraction of positions
@@ -198,11 +205,12 @@ def assisted_decode(params: Any, arch: WhisperArch,
     if p > 1:
         pre_logits, cache, _ = decode_step_multi(
             params, arch, prompt[:, :p - 1], jnp.int32(0), cache,
-            key_mask=key_mask, align_dtype=align_dtype)
+            key_mask=key_mask, align_dtype=align_dtype,
+            pos_offset=pos_offset)
         if use_draft_model:
             _, draft_cache, _ = decode_step_multi(
                 draft_params, draft_arch, prompt[:, :p - 1], jnp.int32(0),
-                draft_cache, key_mask=key_mask)
+                draft_cache, key_mask=key_mask, pos_offset=pos_offset)
         if sot_position <= p - 2:          # static here (no traced callers)
             lg = pre_logits[:, sot_position]
             no_speech0 = jnp.exp(lg[:, specials.no_speech]
@@ -247,7 +255,8 @@ def assisted_decode(params: Any, arch: WhisperArch,
                 dc = draft_cache._replace(self_k=dc_k, self_v=dc_v)
                 lgt, dc, _ = decode_step(draft_params, draft_arch, tok,
                                          _pos(lengths - 1 + i), dc,
-                                         key_mask=key_mask)
+                                         key_mask=key_mask,
+                                         pos_offset=pos_offset)
                 nxt = jnp.argmax(proc(lgt, dstate),
                                  axis=-1).astype(jnp.int32)
                 return (dc.self_k, dc.self_v, dstate.update(nxt, ts_begin),
@@ -275,7 +284,8 @@ def assisted_decode(params: Any, arch: WhisperArch,
         logits, mcache, align = decode_step_multi(
             params, arch, block, _pos(lengths - 1), mcache,
             align_sel=align_sel, key_mask=key_mask,
-            align_dtype=align_dtype)        # [B, S, V], [B, A, S, K]
+            align_dtype=align_dtype,
+            pos_offset=pos_offset)          # [B, S, V], [B, A, S, K]
 
         # ---- sequential accept over the block (vectorized over rows) ----
         def ver_body(carry, i):
@@ -366,6 +376,7 @@ def assisted_decode_jit(params, arch, draft_params, draft_arch, specials,
                         self_cache_dtype: jnp.dtype | None = None,
                         prompt_mask=None,
                         sot_position: int = 0,
+                        pos_offset=None,
                         draft_script=None) -> DecodeResult:
     return assisted_decode(params, arch, draft_params, draft_arch, specials,
                            opts, encoder_out, draft_encoder_out, prompt,
@@ -379,4 +390,5 @@ def assisted_decode_jit(params, arch, draft_params, draft_arch, specials,
                            self_cache_dtype=self_cache_dtype,
                            prompt_mask=prompt_mask,
                            sot_position=sot_position,
+                           pos_offset=pos_offset,
                            draft_script=draft_script)

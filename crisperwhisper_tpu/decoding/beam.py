@@ -71,7 +71,13 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 align_dtype: jnp.dtype = jnp.float32,
                 prompt_mask: jax.Array | None = None,
                 cross_cache_dtype: jnp.dtype | None = None,
-                sot_position: int = 0) -> BeamResult:
+                sot_position: int = 0,
+                pos_offset: jax.Array | None = None) -> BeamResult:
+    # pos_offset: optional int32 [B] per-row left-pad count of the
+    # conditioned prompt — learned-position lookups are shifted so real
+    # tokens take positions 0..len-1 (HF padding='longest' + mask-aware
+    # decoder_position_ids); beams of one item share the offset, so the
+    # loop gets it repeated per beam. See greedy.py / decode_step.
     b, p = prompt.shape
     nb = num_beams
     k_frames = encoder_out.shape[1]
@@ -92,6 +98,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
         key_mask = jnp.repeat(jnp.concatenate(
             [jnp.asarray(prompt_mask, bool),
              jnp.ones((b, max_new_tokens), bool)], axis=1), nb, axis=0)
+    pos_offset_flat = (None if pos_offset is None
+                       else jnp.repeat(pos_offset, nb, axis=0))
 
     tokens0 = jnp.concatenate(
         [jnp.broadcast_to(prompt[:, None, :], (b, nb, p)).astype(jnp.int32),
@@ -121,7 +129,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                  jnp.ones((b, max_new_tokens), bool)], axis=1)
         pre_logits, pre_cache, _ = decode_step_multi(
             params, arch, prompt.astype(jnp.int32)[:, :p - 1], jnp.int32(0),
-            pre_cache, key_mask=pre_key_mask, align_dtype=align_dtype)
+            pre_cache, key_mask=pre_key_mask, align_dtype=align_dtype,
+            pos_offset=pos_offset)
         self_k0 = jnp.repeat(pre_cache.self_k, nb, axis=1)
         self_v0 = jnp.repeat(pre_cache.self_v, nb, axis=1)
         sp_idx = jnp.clip(jnp.asarray(sot_position, jnp.int32), 0, p - 2)
@@ -164,7 +173,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                                                step_cache,
                                                align_sel=align_sel,
                                                key_mask=key_mask,
-                                               beam_groups=nb)
+                                               beam_groups=nb,
+                                               pos_offset=pos_offset_flat)
         # record alignment rows of the query tokens (t >= p)
         slot = jnp.maximum(c.t - p, 0)
         record = c.t >= p
@@ -377,7 +387,7 @@ def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                     align_dtype: jnp.dtype = jnp.float32,
                     prompt_mask=None,
                     cross_cache_dtype: jnp.dtype | None = None,
-                    sot_position: int = 0) -> BeamResult:
+                    sot_position: int = 0, pos_offset=None) -> BeamResult:
     return beam_decode(params, arch, specials, opts, encoder_out, prompt,
                        max_new_tokens=max_new_tokens, num_beams=num_beams,
                        length_penalty=length_penalty,
@@ -387,4 +397,4 @@ def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                        return_timestamps=return_timestamps,
                        align_dtype=align_dtype, prompt_mask=prompt_mask,
                        cross_cache_dtype=cross_cache_dtype,
-                       sot_position=sot_position)
+                       sot_position=sot_position, pos_offset=pos_offset)

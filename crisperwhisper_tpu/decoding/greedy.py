@@ -74,7 +74,8 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                   cross_cache_dtype: jnp.dtype | None = None,
                   self_cache_dtype: jnp.dtype | None = None,
                   prompt_mask: jax.Array | None = None,
-                  sot_position: int = 0) -> DecodeResult:
+                  sot_position: int = 0,
+                  pos_offset: jax.Array | None = None) -> DecodeResult:
     """Decode a batch against precomputed encoder states.
 
     prompt: [B, P] int32 forced prefix (e.g. [sot, lang, task]); same
@@ -84,6 +85,14 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
       the decoder_attention_mask analog).
     temperature: 0 => greedy argmax; > 0 => categorical sampling (the
       fallback ladder re-invokes this with higher temperatures).
+    pos_offset: optional int32 [B] — per-row left-pad count of the
+      conditioned prompt; subtracted from the ring slot for the learned
+      positional-embedding lookup only. This is the dynamic
+      condition-on-prev mode (HF padding='longest' + mask-aware
+      decoder_position_ids, hf generation/utils.py
+      prepare_inputs_for_generation): real tokens take positions
+      0..len-1 regardless of padding. None = static 'max_length'
+      semantics (pads consume positions), identical programs to before.
     """
     b, p = prompt.shape
     k_frames = encoder_out.shape[1]
@@ -115,7 +124,8 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     if p > 1:
         prefill_logits, cache, _ = decode_step_multi(
             params, arch, prompt.astype(jnp.int32)[:, :p - 1], jnp.int32(0),
-            cache, key_mask=key_mask, align_dtype=align_dtype)
+            cache, key_mask=key_mask, align_dtype=align_dtype,
+            pos_offset=pos_offset)
         # sot_position may be traced (conditioned prompts pass it per
         # call): gather its row dynamically and keep zero when the SOT
         # step falls outside the prefill block (then the loop captures it)
@@ -159,7 +169,8 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                                                step_cache,
                                                align_sel=align_sel,
                                                key_mask=key_mask,
-                                               align_dtype=align_dtype)
+                                               align_dtype=align_dtype,
+                                               pos_offset=pos_offset)
         # record alignment rows for generated-query steps (t >= P)
         slot = jnp.maximum(c.t - p, 0)
         record = (c.t >= p) & ~c.finished
@@ -252,8 +263,8 @@ def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                       align_dtype: jnp.dtype = jnp.float32,
                       cross_cache_dtype: jnp.dtype | None = None,
                       self_cache_dtype: jnp.dtype | None = None,
-                      prompt_mask=None, sot_position: int = 0
-                      ) -> DecodeResult:
+                      prompt_mask=None, sot_position: int = 0,
+                      pos_offset=None) -> DecodeResult:
     return greedy_decode(params, arch, specials, opts, encoder_out, prompt,
                          max_new_tokens=max_new_tokens,
                          suppress_mask=suppress_mask,
@@ -265,4 +276,4 @@ def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                          cross_cache_dtype=cross_cache_dtype,
                          self_cache_dtype=self_cache_dtype,
                          prompt_mask=prompt_mask,
-                         sot_position=sot_position)
+                         sot_position=sot_position, pos_offset=pos_offset)

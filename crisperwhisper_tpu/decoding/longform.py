@@ -61,7 +61,7 @@ class GenerateOutput:
 def _decode_window(params, arch, specials, opts, segment_features,
                    prompt, max_new, suppress, begin_suppress, align_sel,
                    temperature, rng, dtw_frames, prompt_mask=None,
-                   sot_position: int = 0, assistant=None):
+                   sot_position: int = 0, assistant=None, pos_offset=None):
     """One batched decode of 30 s windows + on-device DTW. Returns host
     arrays: sequences, num_generated, avg_logprob_or_score, no_speech,
     jump_times.
@@ -71,6 +71,8 @@ def _decode_window(params, arch, specials, opts, segment_features,
     beams, the returned score is sequences_scores (already
     length-normalized) — the quantity _need_fallback consumes (:1266)."""
     encoder_out = encode(params, arch, segment_features)
+    pos_off_j = (jnp.asarray(pos_offset, jnp.int32)
+                 if pos_offset is not None else None)
     use_beams = opts.num_beams > 1 and temperature == 0.0
     # assisted runs at ANY batch size (per-row cache positions; beyond
     # the reference's batch-1 assisted generation)
@@ -106,7 +108,7 @@ def _decode_window(params, arch, specials, opts, segment_features,
             self_cache_dtype=_self_kv_dtype(opts),
             prompt_mask=(jnp.asarray(prompt_mask)
                          if prompt_mask is not None else None),
-            sot_position=sot_position)
+            sot_position=sot_position, pos_offset=pos_off_j)
         score = np.asarray(res.sum_logprobs)
         is_normalized = False
     elif use_beams:
@@ -119,7 +121,7 @@ def _decode_window(params, arch, specials, opts, segment_features,
             prompt_mask=(jnp.asarray(prompt_mask)
                          if prompt_mask is not None else None),
             cross_cache_dtype=_kv_dtype(opts),
-            sot_position=sot_position)
+            sot_position=sot_position, pos_offset=pos_off_j)
         score = np.asarray(res.sequences_scores)
         is_normalized = True
     else:
@@ -133,7 +135,7 @@ def _decode_window(params, arch, specials, opts, segment_features,
                          if prompt_mask is not None else None),
             cross_cache_dtype=_kv_dtype(opts),
             self_cache_dtype=_self_kv_dtype(opts),
-            sot_position=sot_position)
+            sot_position=sot_position, pos_offset=pos_off_j)
         score = np.asarray(res.sum_logprobs)
         is_normalized = False
     jump_times = None
@@ -229,11 +231,16 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
             return_timestamps=opts.return_timestamps)
     conditioning = bool(opts.condition_on_prev_tokens)
     # When conditioning applies, the prompt region is a STATIC cut_off+1
-    # slot left-padded window — the reference's static-cache
-    # padding='max_length' mode (hf _prepare_decoder_input_ids
-    # :1913-1921); iterations without prev context use the bare init
-    # tokens, exactly like the reference (:1900 condition). Two prompt
-    # widths => two compiled decode programs, both reused every window.
+    # slot left-padded window; iterations without prev context use the
+    # bare init tokens, exactly like the reference (:1900 condition). Two
+    # prompt widths => two compiled decode programs, both reused every
+    # window. opts.condition_mode picks the positional semantics inside
+    # that fixed window: "static" = pads consume learned positions (the
+    # reference's padding='max_length' static-cache mode, hf
+    # _prepare_decoder_input_ids :1913-1921); "dynamic" = mask-aware
+    # positions (the reference's DEFAULT padding='longest' +
+    # decoder_position_ids = cumsum(mask)-1) via a per-row pos_offset on
+    # the embedding gather — no dynamic shapes either way.
     cut_off = arch.max_target_positions // 2 - 1
     prev_width = (cut_off + 1) if conditioning else 0
     do_condition = np.zeros((b,), bool)
@@ -295,6 +302,7 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
         # --- conditioned decoder prompt (hf _prepare_decoder_input_ids) ---
         iter_prompt = init_tokens[rows]
         iter_mask = None
+        iter_pos_offset = None
         if (conditioning and do_condition[rows].any()
                 and any(len(current_segments[i]) for i in rows)):
             from .segments import pad_segments_to_max_length as _pad
@@ -311,6 +319,14 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
             iter_mask = np.concatenate(
                 [prev_tok != specials.eot,
                  np.ones_like(init_tokens[rows], bool)], axis=1)
+            if opts.condition_mode == "dynamic":
+                # mask-aware positions (HF padding='longest' default:
+                # decoder_position_ids = cumsum(mask)-1): left-pad slots
+                # consume no learned positions, so real tokens sit at
+                # 0..len-1. Pads are CONTIGUOUS on the left, so the
+                # per-row offset is just the pad count; shapes stay
+                # static — only the pos_emb gather shifts.
+                iter_pos_offset = (~iter_mask).sum(axis=1).astype(np.int32)
         p = iter_prompt.shape[1]
         max_new = min(opts.max_new_tokens, arch.max_target_positions - p)
         # the SOT slot inside the (possibly prev-conditioned) prompt — the
@@ -328,7 +344,7 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 iter_prompt, max_new, suppress, begin_suppress, align_sel,
                 float(temperature), sub, dtw_frames_bucket,
                 prompt_mask=iter_mask, sot_position=sot_position,
-                assistant=assistant)
+                assistant=assistant, pos_offset=iter_pos_offset)
             is_last = t_idx == len(opts.temperatures) - 1
             for j in range(nact):
                 if resolved[j]:

@@ -361,6 +361,7 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
                 key_mask: jax.Array | None = None,
                 beam_groups: int = 1,
                 align_dtype: jnp.dtype = jnp.float32,
+                pos_offset: jax.Array | None = None,
                 ablate: frozenset[str] = frozenset()
                 ) -> tuple[jax.Array, DecoderCache, jax.Array]:
     """One incremental decoder step.
@@ -380,6 +381,16 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         decoder_attention_mask analog of hf _prepare_decoder_input_ids
         :1936-1938). Positions still advance over pads, as in the
         reference.
+      pos_offset: optional int32 [B] — per-row offset subtracted from
+        `position` for the LEARNED-POSITION lookup only (ring slots,
+        causal mask, and cache writes still use `position` unchanged).
+        This implements HF's mask-aware `decoder_position_ids`
+        (cumsum(mask)-1: left-pad slots consume NO positions), i.e. the
+        padding='longest' dynamic condition-on-prev mode
+        (hf generation/utils.py prepare_inputs_for_generation
+        "Create missing position_ids on the fly"). Caller contract:
+        position - pos_offset[b] >= 0 for every row this step runs on
+        (the decode loop only runs at position >= P-1 > max offset).
       beam_groups: when > 1 the B rows are NB consecutive beams per source
         item and the CROSS cache holds one copy per item ([.., B/NB, ..]):
         beams ride the cross-attention as extra query positions, so the
@@ -415,7 +426,10 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
     # (assisted_decode bounds its spec overshoot at entry); do NOT clamp
     # here — jnp.minimum on the while-loop position scalar breaks XLA's
     # in-place ring aliasing on TPU (measured: 19.3 -> 454 ms/step).
-    x = x + dec["pos_emb"][position].astype(dtype)
+    # pos_offset feeds ONLY this embedding gather — a separate derived
+    # value, so the ring-write index chain stays arithmetic-free.
+    emb_pos = position if pos_offset is None else position - pos_offset
+    x = x + dec["pos_emb"][emb_pos].astype(dtype)
     x = x[:, None, :]                                 # [B, 1, d]
 
     # causal mask over cache positions: attend to <= position
@@ -627,7 +641,8 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
                       position: jax.Array, cache: DecoderCache,
                       align_sel: jax.Array | None = None,
                       key_mask: jax.Array | None = None,
-                      align_dtype: jnp.dtype = jnp.float32
+                      align_dtype: jnp.dtype = jnp.float32,
+                      pos_offset: jax.Array | None = None
                       ) -> tuple[jax.Array, DecoderCache, jax.Array]:
     """S-token incremental decoder step (block prefill / verify pass).
 
@@ -642,6 +657,14 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
     `position` may be a scalar (all rows at the same offset) or int32
     [B] per-row offsets (batched assisted decoding): row b's block lands
     at ring slots [position[b], position[b] + S).
+
+    `pos_offset` (optional int32 [B]) shifts the LEARNED-POSITION lookup
+    only — see decode_step: it realizes HF's mask-aware
+    decoder_position_ids for left-padded 'longest' conditioned prompts.
+    Ring slots below the offset are pad slots (key_mask False); their
+    lookup index is clamped to 0 — the clamp lives on this standalone
+    embedding-gather index, never on the ring-write index chain (the
+    TPU aliasing landmine measured in round 3).
 
     Returns (logits [B, S, vocab] f32, new cache,
              align_probs [B, A, S, K] f32).
@@ -666,8 +689,17 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
     # validates prompt + max_new + spec_len - 1 <= max_target_positions;
     # a clamp here is NOT an option: jnp.minimum on the position scalar
     # measurably breaks XLA's in-place ring aliasing on TPU — a 23x
-    # decode regression was measured with it in decode_step)
-    x = x + dec["pos_emb"][pos_vec].astype(dtype)
+    # decode regression was measured with it in decode_step).
+    # pos_offset: clamp ONLY the standalone embedding-gather index (pad
+    # slots sit below the offset; key_mask hides them from attention,
+    # so any in-bounds embedding value is fine) — pos_vec itself stays
+    # untouched for the ring mask and cache writes below.
+    if pos_offset is None:
+        emb_vec = pos_vec
+    else:
+        pv = pos_vec if vector_pos else pos_vec[None, :]
+        emb_vec = jnp.maximum(pv - pos_offset[:, None], 0)     # [B, S]
+    x = x + dec["pos_emb"][emb_vec].astype(dtype)
 
     # causal-within-block mask over ring positions: query at block row i
     # (absolute position position+i) attends to pos <= position+i

@@ -95,6 +95,50 @@ def test_assisted_multi_token_prompt_and_suppress():
     _compare(ref, got)
 
 
+@pytest.mark.parametrize("seed_draft", [0, 7])
+def test_assisted_pos_offset_equals_greedy(seed_draft):
+    """Dynamic condition mode (per-row pos_offset on the learned-position
+    gather): assisted output must still equal plain greedy with the SAME
+    left-padded prompt + mask + offsets — the exactness contract covers
+    the draft chain, the verify block, and the prefill."""
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    draft = (params if seed_draft == 0
+             else init_params(arch, jax.random.PRNGKey(seed_draft)))
+    mel = rand_mel(batch=2, seed=13)
+    enc = encode(params, arch, jnp.asarray(mel))
+    denc = enc if seed_draft == 0 else encode(draft, arch, jnp.asarray(mel))
+    opts = GenerationOptions(max_initial_timestamp_index=50)
+    sel = jnp.asarray(alignment_selector(arch, ((0, 1), (1, 2))))
+    sp = TINY_SPECIALS
+    # left-padded conditioned prompts with ragged pad counts (eot pads)
+    prompt = jnp.asarray(
+        [[sp.eot, sp.eot, sp.sot_prev, sp.sot],
+         [sp.eot, sp.sot_prev, sp.no_timestamps - 2, sp.sot]], jnp.int32)
+    mask = jnp.asarray([[False, False, True, True],
+                        [False, True, True, True]])
+    pos_off = jnp.asarray([2, 1], jnp.int32)
+    ref = greedy_decode_jit(params, arch, sp, opts, enc, prompt, MAX_NEW,
+                            align_sel=sel, prompt_mask=mask,
+                            sot_position=3, pos_offset=pos_off)
+    got = assisted_decode_jit(params, arch, draft, arch, sp, opts, enc,
+                              denc, prompt, MAX_NEW, spec_len=3,
+                              align_sel=sel, prompt_mask=mask,
+                              sot_position=3, pos_offset=pos_off)
+    _compare(ref, got, align_atol=5e-5)
+    # offset of zeros must be byte-identical to no offset at all
+    ref0 = greedy_decode_jit(params, arch, sp, opts, enc, prompt, MAX_NEW,
+                             align_sel=sel, prompt_mask=mask,
+                             sot_position=3)
+    refz = greedy_decode_jit(params, arch, sp, opts, enc, prompt, MAX_NEW,
+                             align_sel=sel, prompt_mask=mask,
+                             sot_position=3,
+                             pos_offset=jnp.zeros((2,), jnp.int32))
+    _compare(ref0, refz)
+    # and a real offset must CHANGE the decode (positions matter)
+    assert (np.asarray(ref.sequences) != np.asarray(ref0.sequences)).any()
+
+
 @pytest.mark.parametrize("seed_draft,spec_len", [(0, 3), (7, 4)])
 def test_assisted_batched_equals_greedy(seed_draft, spec_len):
     """BATCHED speculation (beyond the reference's batch-1 assisted
@@ -330,3 +374,71 @@ def test_pipeline_speculation_under_seek_and_fallback(tmp_path):
         {"raw": audio, "sampling_rate": 16000}, return_timestamps="word")
     assert spec["text"] == plain["text"]
     assert spec["chunks"] == plain["chunks"]
+
+
+def test_pipeline_assistant_max_batch_gating(tmp_path, monkeypatch):
+    """PipelineOptions.assistant_max_batch routes the assistant only to
+    small device batches (the measured TPU crossover: speculation wins at
+    batch 1, loses at large batch). Multi-chunk groups above the limit
+    must decode plain; a single-chunk request must get the assistant —
+    and both must produce transcripts identical to the ungated pipeline
+    (the exactness contract makes the gate a pure perf policy)."""
+    from vocab_fixture import build_model_vocab_dir, our_tokenizer
+
+    from crisperwhisper_tpu.config import FeatureConfig, PipelineOptions
+    from crisperwhisper_tpu.pipeline import asr as asr_mod
+    from crisperwhisper_tpu.pipeline.asr import ASRPipeline
+
+    vocab_dir = str(tmp_path / "vocab")
+    build_model_vocab_dir(vocab_dir)
+    tok = our_tokenizer(vocab_dir)
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    opts = GenerationOptions(max_initial_timestamp_index=50,
+                             max_new_tokens=16, temperatures=(0.0,),
+                             compression_ratio_threshold=None,
+                             logprob_threshold=None,
+                             no_speech_threshold=None,
+                             assistant_spec_len=3,
+                             alignment_heads=((0, 1), (1, 2)))
+    feat = FeatureConfig(feature_size=arch.num_mel_bins, chunk_length=5)
+    rng = np.random.default_rng(3)
+    long_audio = (rng.standard_normal(11 * 16000) * 0.1).astype(np.float32)
+    short_audio = long_audio[: 4 * 16000]
+
+    seen: list = []
+    real_generate = asr_mod.generate
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("assistant"))
+        return real_generate(*args, **kwargs)
+
+    monkeypatch.setattr(asr_mod, "generate", spy)
+
+    def run(audio, **popts_kw):
+        pipe = ASRPipeline(
+            params, arch, tok, specials=TINY_SPECIALS, gen_opts=opts,
+            pipe_opts=PipelineOptions(chunk_length_s=5.0, batch_size=2,
+                                      return_timestamps="word",
+                                      **popts_kw),
+            feat_cfg=feat, assistant="prompt_lookup")
+        return pipe({"raw": audio, "sampling_rate": 16000},
+                    return_timestamps="word")
+
+    # multi-chunk: groups compile at batch 2 > limit -> plain decode
+    seen.clear()
+    gated_long = run(long_audio, assistant_max_batch=1)
+    assert seen and all(a is None for a in seen)
+    # single chunk: batch 1 <= limit -> assistant engaged
+    seen.clear()
+    gated_short = run(short_audio, assistant_max_batch=1)
+    assert seen == ["prompt_lookup"]
+    # ungated reference: assistant everywhere; transcripts must match
+    seen.clear()
+    ref_long = run(long_audio)
+    ref_short = run(short_audio)
+    assert all(a == "prompt_lookup" for a in seen)
+    assert gated_long["text"] == ref_long["text"]
+    assert gated_long["chunks"] == ref_long["chunks"]
+    assert gated_short["text"] == ref_short["text"]
+    assert gated_short["chunks"] == ref_short["chunks"]

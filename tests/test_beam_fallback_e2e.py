@@ -2,9 +2,11 @@
 
   * beam search + failing-threshold fallback ladder vs HF generate
     (deterministic branches: T=0 retries and last-temperature keep)
-  * condition_on_prev_tokens long-form vs HF's static-cache mode (the
-    semantics our static window implements; the dynamic 'longest' mode is
-    a documented non-goal — see test_condition_prev.py docstring)
+  * condition_on_prev_tokens long-form vs HF's static-cache mode
+    (condition_mode="static"; the dynamic 'longest' mode has its own
+    parity suite in test_condition_prev.py —
+    test_condition_dynamic_decoder_stream_parity and the e2e segment
+    parity test)
 """
 
 import numpy as np
