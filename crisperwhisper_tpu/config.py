@@ -209,6 +209,16 @@ class GenerationOptions:
     #                                 pipeline passes it to generate() as
     #                                 assistant="prompt_lookup"; output
     #                                 is exactness-pinned to greedy.
+    b1_decode_kernel: bool = False  # batch-1 whole-step Pallas decoder
+    #                                 kernel (ops/pallas_decode_b1): one
+    #                                 fused kernel streams all decoder
+    #                                 weights per step — the single-stream
+    #                                 latency lever. Serving NUMERICS
+    #                                 OPTION (f32 residual stream vs the
+    #                                 XLA step's bf16), token-agreement
+    #                                 tested; engages only in the gated
+    #                                 int8-weight/int8-self-ring config
+    #                                 at batch 1, greedy/sampling.
 
 
 @dataclass(frozen=True)

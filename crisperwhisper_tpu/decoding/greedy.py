@@ -157,6 +157,16 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     )
     temperature = jnp.asarray(temperature, jnp.float32)
 
+    # batch-1 whole-step Pallas kernel (ops/pallas_decode_b1): decided at
+    # trace time — the single-stream step is weight-bandwidth-bound and
+    # the fused kernel removes the per-op scheduling bubbles of the
+    # scanned XLA step (measured ~2.4 ms -> see scripts/b1_kernel_bench)
+    from ..ops import pallas_decode_b1 as _b1k
+    use_b1_kernel = (getattr(opts, "b1_decode_kernel", False) and b == 1
+                     and key_mask is None and pos_offset is None
+                     and _b1k.supported(params, arch, cache, key_mask, 1,
+                                        jnp.int32(0), prompt[:, 0]))
+
     def cond(c: _Carry):
         return (c.t < t_total - 1) & ~jnp.all(c.finished)
 
@@ -165,12 +175,17 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
         step_cache = cache._replace(self_k=c.self_k, self_v=c.self_v,
                                     self_k_scale=c.self_ks,
                                     self_v_scale=c.self_vs)
-        logits, new_cache, align = decode_step(params, arch, feed, c.t,
-                                               step_cache,
-                                               align_sel=align_sel,
-                                               key_mask=key_mask,
-                                               align_dtype=align_dtype,
-                                               pos_offset=pos_offset)
+        if use_b1_kernel:
+            logits, new_cache, align = _b1k.decode_step_b1(
+                params, arch, feed, c.t, step_cache, align_sel=align_sel,
+                align_dtype=align_dtype)
+        else:
+            logits, new_cache, align = decode_step(params, arch, feed, c.t,
+                                                   step_cache,
+                                                   align_sel=align_sel,
+                                                   key_mask=key_mask,
+                                                   align_dtype=align_dtype,
+                                                   pos_offset=pos_offset)
         # record alignment rows for generated-query steps (t >= P)
         slot = jnp.maximum(c.t - p, 0)
         record = (c.t >= p) & ~c.finished

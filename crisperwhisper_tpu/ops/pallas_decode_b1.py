@@ -1,0 +1,555 @@
+"""Whole-step Pallas decoder kernel for BATCH-1 decode (single stream).
+
+Why a megakernel at B=1 and not at B=64: the round-2/3 measurements
+(experiments/README.md decode_gemv_v3 / selfattn_ring_designs) pinned the
+BATCHED decode step as VPU-element-bound on the cache GEMVs — a Pallas
+kernel cannot beat XLA's fused convert+multiply+reduce there. At B=1 the
+regime flips: the caches shrink 64x while the WEIGHT stream (~0.8 GB/step
+at int8 large-v3) is batch-invariant, so the step is weight-bandwidth
+bound with a measured 2.3x gap to the streaming floor (2.32 ms vs
+~1.0 ms, NOTES_ROUND3.md item 4) — the gap is inter-op scheduling
+bubbles, which one fused kernel with double-buffered weight streaming
+removes.
+
+Structure: ONE `pallas_call` over grid (L layers x S phases). Every dense
+weight is consumed in K-tiles; each operand's BlockSpec index map is
+CLAMPED to its phase window, so Pallas's automatic double-buffered
+pipeline prefetches each tile exactly once per layer, one grid step
+ahead of its use — HBM never idles between sublayers (the XLA scan pays
+an op-boundary bubble per dense op; ~300 of them per step at B=1).
+
+Sub-phases per layer (static schedule):
+  ln1+qkv tiles -> self scores (ring K) -> self out (ring V) ->
+  o tiles -> ln2+cross-q tiles -> cross scores (cross K) ->
+  cross out + alignment (cross V) -> c_o tiles -> ln3+mlp1 tiles ->
+  mlp2 tiles (+ residual)
+
+The kernel reproduces models/whisper.decode_step semantics for the
+gated configuration (see `supported()`): int8 fused-qkv decoder weights,
+int8 self ring with per-position scales, int8/int4 cross cache with
+per-position scales, scalar position, no key_mask, no beam grouping.
+The fresh self K/V column is quantized IN-kernel and merged into the
+softmax directly (design D of experiments/selfattn_ring_designs — the
+read-only lower bound), and the ring update happens OUTSIDE as one
+batched [L, 1, H, Dh, 1] column write per tensor: with the whole layer
+stack inside one kernel there is no per-layer scatter left to pay.
+Alignment-head contributions are rounded to align_dtype (bf16 in
+serving) before accumulation to match the XLA path's
+stacked-in-align_dtype-then-sum numerics (the selector is one-hot, so
+the cross-layer sum is exact in any dtype).
+
+Exactness: NOT bit-identical to the XLA step (f32 residual stream vs
+bf16, tiled f32 dot accumulation) — it is a serving numerics option like
+the int8/int4 caches, gated by GenerationOptions and covered by
+token-agreement + tolerance parity tests (tests/test_b1_kernel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9          # matches decode_step's mask constant
+
+
+def _pick_tiles(k: int, n: int, elem_bytes: float, target: int) -> int:
+    """Number of K-tiles for a [k, n] weight so each tile is <= target
+    bytes; the count must divide k and keep tile rows a multiple of 8
+    (f32 sublane) when possible."""
+    for nt in range(1, k + 1):
+        if k % nt:
+            continue
+        rows = k // nt
+        if rows * n * elem_bytes <= target or rows <= 8:
+            return nt
+    return k
+
+
+class B1Schedule(NamedTuple):
+    """Static per-layer phase schedule."""
+    n_qkv: int
+    n_o: int
+    n_cq: int
+    n_co: int
+    n_m1: int
+    n_m2: int
+    # phase start offsets
+    s_qkv: int
+    s_selfk: int
+    s_selfv: int
+    s_o: int
+    s_cq: int
+    s_crossk: int
+    s_crossv: int
+    s_co: int
+    s_m1: int
+    s_m2: int
+    total: int
+
+
+def make_schedule(d: int, f: int,
+                  tile_bytes: int = 768 * 1024) -> B1Schedule:
+    n_qkv = _pick_tiles(d, 3 * d, 1, tile_bytes)
+    n_o = _pick_tiles(d, d, 1, tile_bytes)
+    n_cq = n_o
+    n_co = n_o
+    n_m1 = _pick_tiles(d, f, 1, tile_bytes)
+    n_m2 = _pick_tiles(f, d, 1, tile_bytes)
+    s_qkv = 0
+    s_selfk = s_qkv + n_qkv
+    s_selfv = s_selfk + 1
+    s_o = s_selfv + 1
+    s_cq = s_o + n_o
+    s_crossk = s_cq + n_cq
+    s_crossv = s_crossk + 1
+    s_co = s_crossv + 1
+    s_m1 = s_co + n_co
+    s_m2 = s_m1 + n_m1
+    total = s_m2 + n_m2
+    return B1Schedule(n_qkv, n_o, n_cq, n_co, n_m1, n_m2,
+                      s_qkv, s_selfk, s_selfv, s_o, s_cq, s_crossk,
+                      s_crossv, s_co, s_m1, s_m2, total)
+
+
+def _kernel(pos_ref,                                     # scalar prefetch
+            x0_ref, lns_ref,
+            qkv_w_ref, qkv_s_ref, qkv_b_ref,
+            o_w_ref, o_s_ref, o_b_ref,
+            cq_w_ref, cq_s_ref, cq_b_ref,
+            co_w_ref, co_s_ref, co_b_ref,
+            m1_w_ref, m1_s_ref, m1_b_ref,
+            m2_w_ref, m2_s_ref, m2_b_ref,
+            ring_k_ref, ring_v_ref, ring_ks_ref, ring_vs_ref,
+            cross_k_ref, cross_v_ref, cross_ks_ref, cross_vs_ref,
+            sel_ref,
+            # outputs
+            hid_ref, align_ref, kcol_ref, vcol_ref, ksc_ref, vsc_ref,
+            # scratch
+            xr, y, acc, qh, pr,
+            *, sched: B1Schedule, d: int, f: int, h: int, dh: int,
+            t_ring: int, k_enc: int, n_align: int, self_qmax: float,
+            cross_is_int4: bool, align_bf16: bool):
+    """One (layer, phase) grid step. Scratch:
+    xr [1, d] f32 residual stream; y [1, max(3d,f)] f32 GEMV input;
+    acc [1, max(3d,f)] f32 tile accumulator; qh [h, dh] f32 current query heads;
+    pr [h, Tmax] f32 attention scores/probs."""
+    li = pl.program_id(0)
+    s = pl.program_id(1)
+    c = sched
+    qmax = self_qmax
+
+    def _ln(vec, idx):
+        """LayerNorm row `idx` of this layer's stacked [1, 6, d] table
+        (rows: ln1.s, ln1.b, ln2.s, ln2.b, ln3.s, ln3.b)."""
+        mean = jnp.mean(vec, axis=-1, keepdims=True)
+        zc = vec - mean
+        var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+        g = lns_ref[0, 2 * idx, :]
+        b = lns_ref[0, 2 * idx + 1, :]
+        return zc * jax.lax.rsqrt(var + 1e-5) * g[None, :] + b[None, :]
+
+    # ---- first grid step of a layer: (re)build y = ln1(x) ----
+    @pl.when(s == c.s_qkv)
+    def _start_layer():
+        @pl.when(li == 0)
+        def _init():
+            xr[...] = x0_ref[...].astype(jnp.float32)
+            align_ref[...] = jnp.zeros_like(align_ref)
+        y[:, :d] = _ln(xr[:, :d], 0)
+        acc[...] = jnp.zeros_like(acc)
+
+    # ---- generic K-tiled GEMV accumulate: acc[:, :n] += y_rows @ W ----
+    # `y` is [1, 4d]: LN outputs occupy y[:, :d]; gelu(mlp1) fills the
+    # full width for the mlp2 tiles. The tile index is traced, so the
+    # input-row window is a pl.ds dynamic slice.
+    def _gemv_tile(w_ref, tile, n_out):
+        rows = w_ref.shape[1]
+        w = w_ref[0].astype(jnp.float32)               # [rows, n_out]
+        xv = y[:, pl.ds(tile * rows, rows)]            # [1, rows]
+        acc[:, :n_out] += jax.lax.dot_general(
+            xv, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    in_qkv = (s >= c.s_qkv) & (s < c.s_qkv + c.n_qkv)
+    in_o = (s >= c.s_o) & (s < c.s_o + c.n_o)
+    in_cq = (s >= c.s_cq) & (s < c.s_cq + c.n_cq)
+    in_co = (s >= c.s_co) & (s < c.s_co + c.n_co)
+    in_m1 = (s >= c.s_m1) & (s < c.s_m1 + c.n_m1)
+    in_m2 = (s >= c.s_m2) & (s < c.s_m2 + c.n_m2)
+
+    @pl.when(in_qkv)
+    def _qkv():
+        _gemv_tile(qkv_w_ref, s - c.s_qkv, 3 * d)
+
+    @pl.when(in_o)
+    def _o():
+        _gemv_tile(o_w_ref, s - c.s_o, d)
+
+    @pl.when(in_cq)
+    def _cq():
+        _gemv_tile(cq_w_ref, s - c.s_cq, d)
+
+    @pl.when(in_co)
+    def _co():
+        _gemv_tile(co_w_ref, s - c.s_co, d)
+
+    @pl.when(in_m1)
+    def _m1():
+        _gemv_tile(m1_w_ref, s - c.s_m1, f)
+
+    @pl.when(in_m2)
+    def _m2():
+        _gemv_tile(m2_w_ref, s - c.s_m2, d)
+
+    # ---- phase finishers (run at the LAST tile of each GEMV phase) ----
+
+    @pl.when(s == c.s_qkv + c.n_qkv - 1)
+    def _finish_qkv():
+        qkv = (acc[:, :3 * d] * qkv_s_ref[0, 0, :][None, :]
+               + qkv_b_ref[0, 0, :][None, :])          # [1, 3d]
+        # q heads (pre-scaled inside the fused weights)
+        qh[...] = qkv[0, :d].reshape(h, dh)
+        # fresh K/V columns, quantized over Dh exactly like decode_step
+        kc = qkv[0, d:2 * d].reshape(h, dh)
+        vc = qkv[0, 2 * d:].reshape(h, dh)
+        for (colv, cref, sref) in ((kc, kcol_ref, ksc_ref),
+                                   (vc, vcol_ref, vsc_ref)):
+            amax = jnp.max(jnp.abs(colv), axis=1, keepdims=True)  # [h,1]
+            sc = jnp.maximum(amax, 1e-8) / qmax
+            q = jnp.clip(jnp.round(colv / sc), -qmax, qmax)
+            cref[0] = q.astype(cref.dtype)
+            sref[0] = sc[:, 0].astype(sref.dtype)
+
+    @pl.when(s == c.s_selfk)
+    def _self_scores():
+        # scores vs ring K (int8, seq-last [h, dh, t]) + fresh column.
+        # Elementwise mult+reduce, not a batched dot: ~0.5M elements is
+        # trivial VPU work at B=1 and avoids per-head MXU M-tile waste
+        # (the experiments/decode_gemv_v3 failure mode).
+        pos = pos_ref[0]
+        kq = ring_k_ref[0].astype(jnp.float32)          # [h, dh, t]
+        sc = jnp.sum(qh[...][:, :, None] * kq, axis=1)  # [h, t]
+        sc = sc * ring_ks_ref[0].astype(jnp.float32)
+        # fresh column score at slot `pos` (bf16 scale roundtrip matches
+        # the XLA path, which reads the just-written bf16 scale)
+        ksc = ksc_ref[0].astype(jnp.float32)            # [h]
+        fresh = jnp.sum(qh[...] * kcol_ref[0].astype(jnp.float32),
+                        axis=1) * ksc                   # [h]
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+        sc = jnp.where(t_ids == pos, fresh[:, None], sc)
+        sc = jnp.where(t_ids <= pos, sc, _NEG_INF)
+        m = jnp.max(sc, axis=1, keepdims=True)
+        e = jnp.exp(sc - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        pr[:, :t_ring] = p
+
+    @pl.when(s == c.s_selfv)
+    def _self_out():
+        pos = pos_ref[0]
+        p = pr[:, :t_ring]
+        p = p * ring_vs_ref[0].astype(jnp.float32)      # fold v scales
+        vsc = vsc_ref[0].astype(jnp.float32)
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        # fresh V column replaces the (stale) ring column at `pos`:
+        # probs at pos get the fresh scale instead of the ring's
+        p_ring = jnp.where(t_ids == pos, 0.0, p)
+        p_fresh = jnp.where(t_ids == pos, pr[:, :t_ring], 0.0)
+        p_fresh = jnp.sum(p_fresh, axis=1) * vsc        # [h]
+        vq = ring_v_ref[0].astype(jnp.float32)          # [h, dh, t]
+        out = jnp.sum(p_ring[:, None, :] * vq, axis=2)  # [h, dh]
+        out = out + p_fresh[:, None] * vcol_ref[0].astype(jnp.float32)
+        y[:, :d] = out.reshape(1, d)                    # o-proj input
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(s == c.s_o + c.n_o - 1)
+    def _finish_o():
+        xr[...] += (acc[:, :d] * o_s_ref[0, 0, :][None, :]
+                    + o_b_ref[0, 0, :][None, :])
+        y[:, :d] = _ln(xr[:, :d], 1)
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(s == c.s_cq + c.n_cq - 1)
+    def _finish_cq():
+        qc = (acc[:, :d] * cq_s_ref[0, 0, :][None, :]
+              + cq_b_ref[0, 0, :][None, :])
+        qh[...] = qc[0].reshape(h, dh)
+
+    @pl.when(s == c.s_crossk)
+    def _cross_scores():
+        kq = cross_k_ref[0]
+        if cross_is_int4:
+            kq = kq.astype(jnp.int8)
+        sc = jnp.sum(qh[...][:, :, None] * kq.astype(jnp.float32),
+                     axis=1)                            # [h, K]
+        sc = sc * cross_ks_ref[0].astype(jnp.float32)
+        m = jnp.max(sc, axis=1, keepdims=True)
+        e = jnp.exp(sc - m)
+        pr[:, :k_enc] = e / jnp.sum(e, axis=1, keepdims=True)
+
+    @pl.when(s == c.s_crossv)
+    def _cross_out():
+        p = pr[:, :k_enc]
+        # alignment capture: one-hot selector row for this layer; round
+        # to bf16 first (parity with the XLA stacked-bf16 accumulation)
+        contrib = jax.lax.dot_general(
+            sel_ref[0], p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [A, K]
+        if align_bf16:
+            contrib = contrib.astype(jnp.bfloat16).astype(jnp.float32)
+        align_ref[...] += contrib
+        pv = p * cross_vs_ref[0].astype(jnp.float32)
+        vq = cross_v_ref[0]
+        if cross_is_int4:
+            vq = vq.astype(jnp.int8)
+        out = jnp.sum(pv[:, None, :] * vq.astype(jnp.float32),
+                      axis=2)                           # [h, dh]
+        y[:, :d] = out.reshape(1, d)
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(s == c.s_co + c.n_co - 1)
+    def _finish_co():
+        xr[...] += (acc[:, :d] * co_s_ref[0, 0, :][None, :]
+                    + co_b_ref[0, 0, :][None, :])
+        y[:, :d] = _ln(xr[:, :d], 2)
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(s == c.s_m1 + c.n_m1 - 1)
+    def _finish_m1():
+        hmid = (acc[:, :f] * m1_s_ref[0, 0, :][None, :]
+                + m1_b_ref[0, 0, :][None, :])
+        y[:, :f] = jax.nn.gelu(hmid, approximate=False)  # [1, f]
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(s == c.s_m2 + c.n_m2 - 1)
+    def _finish_m2():
+        xr[...] += (acc[:, :d] * m2_s_ref[0, 0, :][None, :]
+                    + m2_b_ref[0, 0, :][None, :])
+        hid_ref[...] = xr[...]
+
+
+def _clampmap(start: int, n: int):
+    """Index map (l, s, pos_ref) -> (l, tile clamped to this phase's
+    window): the operand's tile advances only inside its phase, so the
+    auto-pipeline fetches each tile exactly once per layer, one grid
+    step ahead of its use."""
+    def imap(l, s, pos):  # noqa: E741
+        del pos
+        t = jnp.clip(s - start, 0, n - 1)
+        return (l, t, 0)
+    return imap
+
+
+def _layermap(l, s, pos):  # noqa: E741
+    del pos, s
+    return (l, 0, 0)
+
+
+def _layermap4(l, s, pos):  # noqa: E741
+    del pos, s
+    return (l, 0, 0, 0)
+
+
+def _const2(l, s, pos):  # noqa: E741
+    del pos, l, s
+    return (0, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("arch_key", "interpret"))
+def _call_kernel(operands, pos, arch_key, interpret=False):
+    (x0, lns, qkv_w, qkv_s, qkv_b, o_w, o_s, o_b, cq_w, cq_s, cq_b,
+     co_w, co_s, co_b, m1_w, m1_s, m1_b, m2_w, m2_s, m2_b,
+     ring_k, ring_v, ring_ks, ring_vs,
+     cross_k, cross_v, cross_ks, cross_vs, sel) = operands
+    (L, d, f, h, dh, t_ring, k_enc, n_align, self_qmax, cross_is_int4,
+     align_bf16, tile_bytes) = arch_key
+    sched = make_schedule(d, f, tile_bytes)
+    c = sched
+
+    def wspec(w, start, n):
+        rows = w.shape[1] // n
+        return pl.BlockSpec((1, rows, w.shape[2]), _clampmap(start, n))
+
+    def lspec(x):
+        return pl.BlockSpec((1,) + x.shape[1:],
+                            _layermap if x.ndim == 3 else _layermap4)
+
+    in_specs = [
+        pl.BlockSpec(x0.shape, _const2),                 # x0
+        lspec(lns),
+        wspec(qkv_w, c.s_qkv, c.n_qkv), lspec(qkv_s), lspec(qkv_b),
+        wspec(o_w, c.s_o, c.n_o), lspec(o_s), lspec(o_b),
+        wspec(cq_w, c.s_cq, c.n_cq), lspec(cq_s), lspec(cq_b),
+        wspec(co_w, c.s_co, c.n_co), lspec(co_s), lspec(co_b),
+        wspec(m1_w, c.s_m1, c.n_m1), lspec(m1_s), lspec(m1_b),
+        wspec(m2_w, c.s_m2, c.n_m2), lspec(m2_s), lspec(m2_b),
+        lspec(ring_k), lspec(ring_v), lspec(ring_ks), lspec(ring_vs),
+        lspec(cross_k), lspec(cross_v), lspec(cross_ks), lspec(cross_vs),
+        lspec(sel),
+    ]
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, d), jnp.float32),            # hid
+        jax.ShapeDtypeStruct((n_align, k_enc), jnp.float32),  # align
+        jax.ShapeDtypeStruct((L, h, dh), jnp.int8),           # kcol
+        jax.ShapeDtypeStruct((L, h, dh), jnp.int8),           # vcol
+        jax.ShapeDtypeStruct((L, h), jnp.float32),            # ksc
+        jax.ShapeDtypeStruct((L, h), jnp.float32),            # vsc
+    )
+    out_specs = (
+        pl.BlockSpec((1, d), _const2),
+        pl.BlockSpec((n_align, k_enc), _const2),
+        pl.BlockSpec((1, h, dh), _layermap),
+        pl.BlockSpec((1, h, dh), _layermap),
+        pl.BlockSpec((1, h), lambda l, s, pos: (l, 0)),
+        pl.BlockSpec((1, h), lambda l, s, pos: (l, 0)),
+    )
+    t_max = max(t_ring, k_enc)
+    wide = max(3 * d, f)
+    scratch = [
+        pltpu.VMEM((1, d), jnp.float32),        # xr
+        pltpu.VMEM((1, wide), jnp.float32),     # y
+        pltpu.VMEM((1, wide), jnp.float32),     # acc
+        pltpu.VMEM((h, dh), jnp.float32),       # qh
+        pltpu.VMEM((h, t_max), jnp.float32),    # pr
+    ]
+    kern = functools.partial(
+        _kernel, sched=sched, d=d, f=f, h=h, dh=dh, t_ring=t_ring,
+        k_enc=k_enc, n_align=n_align, self_qmax=self_qmax,
+        cross_is_int4=cross_is_int4, align_bf16=align_bf16)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, sched.total),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32).reshape(1), *operands)
+
+
+def supported(params: Any, arch, cache, key_mask, beam_groups: int,
+              position, tokens) -> bool:
+    """The gated configuration this kernel implements."""
+    dec = params["decoder"]
+    lay = dec["layers"]
+    return (tokens.shape[0] == 1
+            and jnp.asarray(position).ndim == 0
+            and key_mask is None
+            and beam_groups == 1
+            and "qkv" in lay["self"]
+            and "w_q" in lay["self"]["qkv"]
+            and "w_q" in lay["mlp"]["fc1"]
+            and cache.self_k_scale is not None
+            and cache.self_k.dtype == jnp.int8
+            and cache.cross_k_scale is not None
+            and cache.cross_k.dtype in (jnp.int8, jnp.int4))
+
+
+def decode_step_b1(params: Any, arch, tokens, position, cache,
+                   align_sel=None, align_dtype=jnp.float32,
+                   interpret: bool | None = None):
+    """Drop-in replacement for models/whisper.decode_step at batch 1 in
+    the gated serving configuration (see `supported`). Returns
+    (logits [1, V] f32, new cache, align_probs [1, A, K] f32).
+
+    interpret=None auto-selects: Mosaic on TPU, interpret mode on the
+    CPU backend (tests / multichip dryrun)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dec = params["decoder"]
+    lay = dec["layers"]
+    L = arch.decoder_layers
+    h = arch.decoder_attention_heads
+    d = arch.d_model
+    dh = arch.head_dim
+    t_ring = cache.self_k.shape[-1]
+    k_enc = cache.cross_k.shape[-1]
+    position = jnp.asarray(position, jnp.int32)
+
+    x0 = (dec["tok_emb"][tokens].astype(jnp.float32)
+          + dec["pos_emb"][position][None].astype(jnp.float32))  # [1, d]
+
+    lns = jnp.stack([lay["ln1"]["scale"], lay["ln1"]["bias"],
+                     lay["ln2"]["scale"], lay["ln2"]["bias"],
+                     lay["ln3"]["scale"], lay["ln3"]["bias"]],
+                    axis=1).astype(jnp.float32)                  # [L, 6, d]
+
+    def sb(p, extra_scale=None):
+        s = p["w_scale"].astype(jnp.float32)          # [L, 1, N]
+        b = jnp.broadcast_to(p["b"].astype(jnp.float32)[:, None, :],
+                             s.shape)
+        if extra_scale is not None:
+            s = s * extra_scale
+            b = b * extra_scale
+        return s, b
+
+    scale = arch.head_dim ** -0.5
+    qkv_s, qkv_b = sb(lay["self"]["qkv"])
+    o_s, o_b = sb(lay["self"]["o"])
+    cq_s, cq_b = sb(lay["cross"]["q"], extra_scale=scale)
+    co_s, co_b = sb(lay["cross"]["o"])
+    m1_s, m1_b = sb(lay["mlp"]["fc1"])
+    m2_s, m2_b = sb(lay["mlp"]["fc2"])
+
+    n_align = align_sel.shape[-1] if align_sel is not None else 1
+    sel = (jnp.asarray(align_sel, jnp.float32) if align_sel is not None
+           else jnp.zeros((L, h, 1), jnp.float32))
+
+    cross_is_int4 = cache.cross_k.dtype == jnp.int4
+    operands = (
+        x0, lns,
+        lay["self"]["qkv"]["w_q"], qkv_s, qkv_b,
+        lay["self"]["o"]["w_q"], o_s, o_b,
+        lay["cross"]["q"]["w_q"], cq_s, cq_b,
+        lay["cross"]["o"]["w_q"], co_s, co_b,
+        lay["mlp"]["fc1"]["w_q"], m1_s, m1_b,
+        lay["mlp"]["fc2"]["w_q"], m2_s, m2_b,
+        cache.self_k[:, 0], cache.self_v[:, 0],
+        cache.self_k_scale[:, 0].astype(jnp.float32),
+        cache.self_v_scale[:, 0].astype(jnp.float32),
+        cache.cross_k[:, 0], cache.cross_v[:, 0],
+        cache.cross_k_scale[:, 0].astype(jnp.float32),
+        cache.cross_v_scale[:, 0].astype(jnp.float32),
+        sel,
+    )
+    arch_key = (L, d, arch.decoder_ffn_dim, h, dh, t_ring, k_enc,
+                n_align, 127.0, cross_is_int4,
+                jnp.dtype(align_dtype) == jnp.bfloat16, 768 * 1024)
+    hid, align, kcol, vcol, ksc, vsc = _call_kernel(
+        operands, position, arch_key, interpret=interpret)
+
+    # ---- ring column update (ONE batched write per tensor per step) ----
+    new_k = jax.lax.dynamic_update_slice(
+        cache.self_k, kcol[:, None, :, :, None], (0, 0, 0, 0, position))
+    new_v = jax.lax.dynamic_update_slice(
+        cache.self_v, vcol[:, None, :, :, None], (0, 0, 0, 0, position))
+    new_ks = jax.lax.dynamic_update_slice(
+        cache.self_k_scale,
+        ksc[:, None, :, None].astype(cache.self_k_scale.dtype),
+        (0, 0, 0, position))
+    new_vs = jax.lax.dynamic_update_slice(
+        cache.self_v_scale,
+        vsc[:, None, :, None].astype(cache.self_v_scale.dtype),
+        (0, 0, 0, position))
+    new_cache = cache._replace(self_k=new_k, self_v=new_v,
+                               self_k_scale=new_ks, self_v_scale=new_vs)
+
+    # ---- final LN + tied LM head (XLA ops, identical to decode_step) ----
+    from ..models.whisper import layer_norm
+    act_dtype = dec["tok_emb"].dtype
+    x = layer_norm(hid.astype(act_dtype)[:, None, :], dec["ln"])
+    logits = jnp.einsum("btd,vd->btv", x, dec["tok_emb"].astype(act_dtype),
+                        preferred_element_type=jnp.float32)[:, 0]
+    align_probs = align[None].astype(jnp.float32)        # [1, A, K]
+    if align_sel is None:
+        align_probs = jnp.zeros((1, 1, k_enc), jnp.float32)
+    return logits, new_cache, align_probs

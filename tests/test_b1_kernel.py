@@ -1,0 +1,127 @@
+"""Batch-1 whole-step Pallas decoder kernel (ops/pallas_decode_b1).
+
+The kernel is a serving NUMERICS OPTION (f32 residual stream vs the XLA
+step's bf16), so parity is token-agreement + tolerance, like the int8/
+int4 cache options (tests/test_int8_kv.py). Interpret mode on CPU; the
+Mosaic-compiled TPU path is covered by scripts/b1_kernel_bench.py and
+the bench row.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crisperwhisper_tpu.models import (alignment_selector, decode_step,
+                                       encode, init_cache, init_params)
+from crisperwhisper_tpu.models.quantize import (fuse_decoder_qkv,
+                                                quantize_decoder_weights)
+from crisperwhisper_tpu.ops.pallas_decode_b1 import (decode_step_b1,
+                                                     supported)
+from helpers import rand_mel, tiny_arch
+
+
+def _setup(cross_dtype=jnp.int8, ring=32):
+    arch = tiny_arch()
+    params = quantize_decoder_weights(
+        fuse_decoder_qkv(init_params(arch, jax.random.PRNGKey(0)),
+                         arch.head_dim))
+    mel = rand_mel(batch=1, seed=5)
+    enc = encode(params, arch, jnp.asarray(mel))
+    cache = init_cache(params, arch, enc, cross_dtype=cross_dtype,
+                       cache_len=ring, self_dtype=jnp.int8)
+    sel = jnp.asarray(alignment_selector(arch, ((0, 1), (1, 2))))
+    return arch, params, cache, sel
+
+
+@pytest.mark.parametrize("cross_dtype", [jnp.int8, jnp.int4])
+def test_b1_kernel_step_parity(cross_dtype):
+    """Chained steps: argmax must agree with the XLA decode_step every
+    step; logits/alignment within the bf16-vs-f32 numerics band; the
+    quantized ring columns within 1 LSB."""
+    arch, params, cache, sel = _setup(cross_dtype)
+    assert supported(params, arch, cache, None, 1, jnp.int32(0),
+                     jnp.asarray([7], jnp.int32))
+    ca = cb = cache
+    tok = 7
+    for i in range(8):
+        tt = jnp.asarray([tok], jnp.int32)
+        la, ca, aa = decode_step(params, arch, tt, jnp.int32(i), ca,
+                                 align_sel=sel)
+        lb, cb, ab = decode_step_b1(params, arch, tt, jnp.int32(i), cb,
+                                    align_sel=sel, interpret=True)
+        la, lb = np.asarray(la), np.asarray(lb)
+        assert la.argmax() == lb.argmax(), i
+        np.testing.assert_allclose(lb, la, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(ab), np.asarray(aa),
+                                   atol=1e-4)
+        assert np.abs(np.asarray(ca.self_k, np.int32)
+                      - np.asarray(cb.self_k, np.int32)).max() <= 1
+        assert np.abs(np.asarray(ca.self_v, np.int32)
+                      - np.asarray(cb.self_v, np.int32)).max() <= 1
+        tok = int(la.argmax())
+    # cross cache untouched
+    np.testing.assert_array_equal(np.asarray(cb.cross_k, np.int32),
+                                  np.asarray(cache.cross_k, np.int32))
+
+
+def test_b1_kernel_greedy_integration():
+    """greedy_decode with opts.b1_decode_kernel must produce a token
+    stream in high agreement with the plain path (numerics option), and
+    must AUTO-FALL-BACK (bit-identical output) when the config is
+    outside the kernel's gate (here: bf16 caches)."""
+    from crisperwhisper_tpu.config import GenerationOptions
+    from crisperwhisper_tpu.decoding.greedy import greedy_decode_jit
+    from helpers import TINY_SPECIALS
+
+    arch, params, _, sel = _setup()
+    mel = rand_mel(batch=1, seed=5)
+    enc = encode(params, arch, jnp.asarray(mel))
+    prompt = jnp.full((1, 1), TINY_SPECIALS.sot, jnp.int32)
+    base = dict(max_initial_timestamp_index=50)
+    opts_off = GenerationOptions(**base)
+    opts_on = GenerationOptions(**base, b1_decode_kernel=True)
+    kw = dict(align_sel=sel, cross_cache_dtype=jnp.int8,
+              self_cache_dtype=jnp.int8)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts_off, enc,
+                            prompt, 16, **kw)
+    got = greedy_decode_jit(params, arch, TINY_SPECIALS, opts_on, enc,
+                            prompt, 16, **kw)
+    r = np.asarray(ref.sequences)[0]
+    g = np.asarray(got.sequences)[0]
+    n = min(int(ref.num_generated[0]), int(got.num_generated[0]))
+    agree = float((r[:n] == g[:n]).mean())
+    assert agree >= 0.9, (agree, r[:n], g[:n])
+    # outside the gate (bf16 caches): flag must be a no-op, bit-identical
+    ref_bf = greedy_decode_jit(params, arch, TINY_SPECIALS, opts_off, enc,
+                               prompt, 16, align_sel=sel)
+    got_bf = greedy_decode_jit(params, arch, TINY_SPECIALS, opts_on, enc,
+                               prompt, 16, align_sel=sel)
+    np.testing.assert_array_equal(np.asarray(ref_bf.sequences),
+                                  np.asarray(got_bf.sequences))
+    np.testing.assert_array_equal(np.asarray(ref_bf.align_probs),
+                                  np.asarray(got_bf.align_probs))
+
+
+def test_b1_kernel_supported_gate():
+    """The gate must reject every configuration the kernel does not
+    implement (so greedy_decode can fall back safely)."""
+    arch, params, cache, sel = _setup()
+    tok = jnp.asarray([7], jnp.int32)
+    ok = lambda **kw: supported(  # noqa: E731
+        kw.get("params", params), arch, kw.get("cache", cache),
+        kw.get("key_mask"), kw.get("beam_groups", 1),
+        kw.get("position", jnp.int32(0)), kw.get("tokens", tok))
+    assert ok()
+    assert not ok(tokens=jnp.asarray([7, 8], jnp.int32))        # batch 2
+    assert not ok(position=jnp.asarray([0], jnp.int32))         # vector pos
+    assert not ok(key_mask=jnp.ones((1, 32), bool))             # masked
+    assert not ok(beam_groups=2)
+    bf16_cache = init_cache(params, arch,
+                            jnp.zeros((1, arch.max_source_positions,
+                                       arch.d_model)), cache_len=32)
+    assert not ok(cache=bf16_cache)                             # bf16 caches
+    unfused = quantize_decoder_weights(
+        init_params(arch, jax.random.PRNGKey(0)))
+    assert not ok(params=unfused)                               # no fused qkv
