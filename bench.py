@@ -263,6 +263,50 @@ def main():
         rows.append(row)
         print(f"# row: {json.dumps(row)}", flush=True)
 
+    # ---- batch-1 whole-step Pallas decoder kernel row -----------------
+    # (ops/pallas_decode_b1, GenerationOptions.b1_decode_kernel): the
+    # fused weight-streaming kernel vs the scanned XLA step. Requires the
+    # int8-weight + int8-self-ring gate; numerics option, so its own row.
+    if (os.environ.get("BENCH_B1_KERNEL", "1") != "0" and on_tpu
+            and W_BITS == 8 and SELF_KV == "int8"):
+        n_tokens = HEADLINE_TOKENS
+        audio1 = audio[:1]
+        opts_b1 = GenerationOptions(max_initial_timestamp_index=50,
+                                    b1_decode_kernel=True)
+        def run_b1k():
+            enc = enc_fn(params, audio1)
+            res = greedy_decode_jit(
+                params, arch, sp, opts_b1, enc,
+                jnp.full((1, 1), sp.sot, jnp.int32), n_tokens,
+                suppress_mask=suppress, align_sel=align_sel,
+                align_dtype=jnp.bfloat16,
+                cross_cache_dtype=kv_dtype, self_cache_dtype=self_kv_dtype)
+            jumps = attention_to_jump_times(
+                res.align_probs.astype(jnp.float32), 7,
+                jnp.maximum(res.num_generated - 1, 0),
+                jnp.full((1,), arch.max_source_positions, jnp.int32),
+                full_frames=True)
+            return res.sequences, jumps
+        try:
+            materialize(run_b1k())                           # compile
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                materialize(run_b1k())
+            k_s = (time.perf_counter() - t0) / ITERS
+            plain_s = next((r["latency_ms_per_30s_chunk"] / 1e3
+                            for r in rows
+                            if r.get("mode") == "single_stream"), None)
+            row = {"mode": "single_stream_b1_kernel", "batch": 1,
+                   "tokens_per_chunk": n_tokens,
+                   "latency_ms_per_30s_chunk": round(k_s * 1e3, 1),
+                   "speedup_vs_greedy_b1": (round(plain_s / k_s, 2)
+                                            if plain_s else None)}
+            rows.append(row)
+            print(f"# row: {json.dumps(row)}", flush=True)
+        except Exception as e:                    # pragma: no cover
+            print(f"# b1-kernel row skipped: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
     # ---- draft-free prompt-lookup speculation row (batch 1) -----------
     # Speculation is the SINGLE-STREAM LATENCY lever: the measured
     # acceptance curve (scripts/spec_accept_bench.py) gives 1.7x at full

@@ -59,13 +59,18 @@ _NEG_INF = -1e9          # matches decode_step's mask constant
 
 def _pick_tiles(k: int, n: int, elem_bytes: float, target: int) -> int:
     """Number of K-tiles for a [k, n] weight so each tile is <= target
-    bytes; the count must divide k and keep tile rows a multiple of 8
-    (f32 sublane) when possible."""
+    bytes. Tile rows must stay a multiple of 128 when k divides into
+    128-row tiles: the GEMV input window is a DYNAMIC lane slice of the
+    activation vector, and non-128-aligned lane offsets force Mosaic
+    relayouts (or fail to lower)."""
+    step = 128 if k % 128 == 0 else 1
     for nt in range(1, k + 1):
         if k % nt:
             continue
         rows = k // nt
-        if rows * n * elem_bytes <= target or rows <= 8:
+        if rows % step:
+            continue
+        if rows * n * elem_bytes <= target or rows <= max(step, 8):
             return nt
     return k
 
@@ -213,10 +218,10 @@ def _kernel(pos_ref,                                     # scalar prefetch
         qkv = (acc[:, :3 * d] * qkv_s_ref[0, 0, :][None, :]
                + qkv_b_ref[0, 0, :][None, :])          # [1, 3d]
         # q heads (pre-scaled inside the fused weights)
-        qh[...] = qkv[0, :d].reshape(h, dh)
+        qh[...] = qkv[:, :d].reshape(h, dh)
         # fresh K/V columns, quantized over Dh exactly like decode_step
-        kc = qkv[0, d:2 * d].reshape(h, dh)
-        vc = qkv[0, 2 * d:].reshape(h, dh)
+        kc = qkv[:, d:2 * d].reshape(h, dh)
+        vc = qkv[:, 2 * d:].reshape(h, dh)
         for (colv, cref, sref) in ((kc, kcol_ref, ksc_ref),
                                    (vc, vcol_ref, vsc_ref)):
             amax = jnp.max(jnp.abs(colv), axis=1, keepdims=True)  # [h,1]
@@ -225,15 +230,44 @@ def _kernel(pos_ref,                                     # scalar prefetch
             cref[0] = q.astype(cref.dtype)
             sref[0] = sc[:, 0].astype(sref.dtype)
 
+    # ---- attention primitives: elementwise mult+reduce (trivial VPU
+    # work at B=1; avoids the per-head MXU M-tile waste measured in
+    # experiments/decode_gemv_v3). The [h, dh, T] broadcast temp is
+    # bounded by processing the T axis in STATIC chunks (<=512 keeps the
+    # f32 temp ~2.6 MB; T and k_enc are static, so this is a python
+    # loop with static slices — no dynamic control flow).
+    _CHUNK = 512
+
+    def _qk_scores(q, k_ref, width):
+        """s[h, t] = sum_d q[h, d] * k_ref[0][h, d, t], t-chunked."""
+        parts = []
+        for off in range(0, width, _CHUNK):
+            w = min(_CHUNK, width - off)
+            kq = k_ref[0, :, :, off:off + w]
+            if kq.dtype == jnp.int4:
+                kq = kq.astype(jnp.int8)
+            parts.append(jnp.sum(q[:, :, None] * kq.astype(jnp.float32),
+                                 axis=1))               # [h, w]
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 \
+            else parts[0]
+
+    def _pv_out(p, v_ref, width):
+        """o[h, d] = sum_t p[h, t] * v_ref[0][h, d, t], t-chunked."""
+        out = jnp.zeros((h, dh), jnp.float32)
+        for off in range(0, width, _CHUNK):
+            w = min(_CHUNK, width - off)
+            vq = v_ref[0, :, :, off:off + w]
+            if vq.dtype == jnp.int4:
+                vq = vq.astype(jnp.int8)
+            out += jnp.sum(p[:, None, off:off + w]
+                           * vq.astype(jnp.float32), axis=2)
+        return out
+
     @pl.when(s == c.s_selfk)
     def _self_scores():
-        # scores vs ring K (int8, seq-last [h, dh, t]) + fresh column.
-        # Elementwise mult+reduce, not a batched dot: ~0.5M elements is
-        # trivial VPU work at B=1 and avoids per-head MXU M-tile waste
-        # (the experiments/decode_gemv_v3 failure mode).
+        # scores vs ring K (int8, seq-last [h, dh, t]) + fresh column
         pos = pos_ref[0]
-        kq = ring_k_ref[0].astype(jnp.float32)          # [h, dh, t]
-        sc = jnp.sum(qh[...][:, :, None] * kq, axis=1)  # [h, t]
+        sc = _qk_scores(qh[...], ring_k_ref, t_ring)    # [h, t]
         sc = sc * ring_ks_ref[0].astype(jnp.float32)
         # fresh column score at slot `pos` (bf16 scale roundtrip matches
         # the XLA path, which reads the just-written bf16 scale)
@@ -260,8 +294,7 @@ def _kernel(pos_ref,                                     # scalar prefetch
         p_ring = jnp.where(t_ids == pos, 0.0, p)
         p_fresh = jnp.where(t_ids == pos, pr[:, :t_ring], 0.0)
         p_fresh = jnp.sum(p_fresh, axis=1) * vsc        # [h]
-        vq = ring_v_ref[0].astype(jnp.float32)          # [h, dh, t]
-        out = jnp.sum(p_ring[:, None, :] * vq, axis=2)  # [h, dh]
+        out = _pv_out(p_ring, ring_v_ref, t_ring)       # [h, dh]
         out = out + p_fresh[:, None] * vcol_ref[0].astype(jnp.float32)
         y[:, :d] = out.reshape(1, d)                    # o-proj input
         acc[...] = jnp.zeros_like(acc)
@@ -277,15 +310,11 @@ def _kernel(pos_ref,                                     # scalar prefetch
     def _finish_cq():
         qc = (acc[:, :d] * cq_s_ref[0, 0, :][None, :]
               + cq_b_ref[0, 0, :][None, :])
-        qh[...] = qc[0].reshape(h, dh)
+        qh[...] = qc.reshape(h, dh)
 
     @pl.when(s == c.s_crossk)
     def _cross_scores():
-        kq = cross_k_ref[0]
-        if cross_is_int4:
-            kq = kq.astype(jnp.int8)
-        sc = jnp.sum(qh[...][:, :, None] * kq.astype(jnp.float32),
-                     axis=1)                            # [h, K]
+        sc = _qk_scores(qh[...], cross_k_ref, k_enc)    # [h, K]
         sc = sc * cross_ks_ref[0].astype(jnp.float32)
         m = jnp.max(sc, axis=1, keepdims=True)
         e = jnp.exp(sc - m)
@@ -303,11 +332,7 @@ def _kernel(pos_ref,                                     # scalar prefetch
             contrib = contrib.astype(jnp.bfloat16).astype(jnp.float32)
         align_ref[...] += contrib
         pv = p * cross_vs_ref[0].astype(jnp.float32)
-        vq = cross_v_ref[0]
-        if cross_is_int4:
-            vq = vq.astype(jnp.int8)
-        out = jnp.sum(pv[:, None, :] * vq.astype(jnp.float32),
-                      axis=2)                           # [h, dh]
+        out = _pv_out(pv, cross_v_ref, k_enc)           # [h, dh]
         y[:, :d] = out.reshape(1, d)
         acc[...] = jnp.zeros_like(acc)
 

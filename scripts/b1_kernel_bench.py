@@ -37,11 +37,53 @@ VARIANTS = os.environ.get("VARIANTS", "xla,kernel").split(",")
 
 def main():
     arch = WhisperArch.large_v3()
-    params = quantize_decoder_weights(
-        fuse_decoder_qkv(init_params(arch, jax.random.PRNGKey(0),
-                                     dtype=jnp.bfloat16), arch.head_dim))
-    # decoder-only weights needed; drop the encoder to save HBM
-    params = {"decoder": params["decoder"]}
+
+    # Param prep pitfalls on axon (both measured >14 min): eager
+    # per-leaf init is hundreds of tunnel dispatches; a jitted build with
+    # CONSTANT inputs gets constant-folded on the host single-threaded;
+    # a jitted build with a runtime key still needs a slow remote compile
+    # of the full init+quantize program. Fastest: numpy on the host,
+    # one device_put per leaf of the final (already-quantized) pytree.
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(0)
+
+    def dense_q(k, n):
+        w = rng.standard_normal((L, k, n), np.float32) * 0.02
+        amax = np.maximum(np.abs(w).max(axis=1, keepdims=True), 1e-8)
+        return {"w_q": jnp.asarray(
+                    np.clip(np.round(w / (amax / 127)), -127, 127)
+                    .astype(np.int8)),
+                "w_scale": jnp.asarray((amax / 127)[:, 0][:, None]
+                                       .astype(np.float32), jnp.bfloat16),
+                "b": jnp.asarray(np.zeros((L, n), np.float32)
+                                 + rng.standard_normal(n) * 0.01,
+                                 jnp.bfloat16)}
+
+    L, d, f = arch.decoder_layers, arch.d_model, arch.decoder_ffn_dim
+    ln = lambda: {"scale": jnp.asarray(   # noqa: E731
+                      np.ones((L, d), np.float32), jnp.bfloat16),
+                  "bias": jnp.asarray(
+                      rng.standard_normal((L, d)).astype(np.float32) * .01,
+                      jnp.bfloat16)}
+    layers = {
+        "ln1": ln(), "ln2": ln(), "ln3": ln(),
+        "self": {"qkv": dense_q(d, 3 * d), "o": dense_q(d, d)},
+        "cross": {"q": dense_q(d, d), "k": dense_q(d, d),
+                  "v": dense_q(d, d), "o": dense_q(d, d)},
+        "mlp": {"fc1": dense_q(d, f), "fc2": dense_q(f, d)},
+    }
+    params = {"decoder": {
+        "layers": layers,
+        "tok_emb": jnp.asarray(
+            rng.standard_normal((arch.vocab_size, d)).astype(np.float32)
+            * 0.02, jnp.bfloat16),
+        "pos_emb": jnp.asarray(
+            rng.standard_normal((arch.max_target_positions, d))
+            .astype(np.float32) * 0.02, jnp.bfloat16),
+        "ln": {"scale": jnp.asarray(np.ones(d, np.float32), jnp.bfloat16),
+               "bias": jnp.asarray(np.zeros(d, np.float32), jnp.bfloat16)},
+    }}
+    print(f"# param build: {time.perf_counter() - t0:.0f} s", flush=True)
     enc = jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (1, arch.max_source_positions, arch.d_model)).astype(np.float32),
