@@ -227,6 +227,16 @@ def assisted_decode(params: Any, arch: WhisperArch,
         return process_scores(logits, state, specials, opts, suppress_mask,
                               begin_suppress_mask, return_timestamps)
 
+    # batch-1 whole-step Pallas kernel for the VERIFY block (the whole
+    # device cost of draft-free speculation): same gate as greedy's
+    # per-token use — the two levers compound at B=1
+    from ..ops import pallas_decode_b1 as _b1k
+    use_b1_kernel = (getattr(opts, "b1_decode_kernel", False) and b == 1
+                     and key_mask is None and pos_offset is None
+                     and not use_draft_model
+                     and _b1k.supported(params, arch, cache, key_mask, 1,
+                                        jnp.int32(0), prompt[:, 0]))
+
     rows = jnp.arange(b)
 
     def _pos(v):
@@ -281,11 +291,16 @@ def assisted_decode(params: Any, arch: WhisperArch,
         # ---- verify: ONE multi-token step over [tok[L-1], d_1..d_{S-1}] --
         block = jnp.concatenate([feed0[:, None], drafts[:, :s - 1]],
                                 axis=1) if s > 1 else feed0[:, None]
-        logits, mcache, align = decode_step_multi(
-            params, arch, block, _pos(lengths - 1), mcache,
-            align_sel=align_sel, key_mask=key_mask,
-            align_dtype=align_dtype,
-            pos_offset=pos_offset)          # [B, S, V], [B, A, S, K]
+        if use_b1_kernel:
+            logits, mcache, align = _b1k.decode_step_b1_multi(
+                params, arch, block, _pos(lengths - 1), mcache,
+                align_sel=align_sel, align_dtype=align_dtype)
+        else:
+            logits, mcache, align = decode_step_multi(
+                params, arch, block, _pos(lengths - 1), mcache,
+                align_sel=align_sel, key_mask=key_mask,
+                align_dtype=align_dtype,
+                pos_offset=pos_offset)      # [B, S, V], [B, A, S, K]
 
         # ---- sequential accept over the block (vectorized over rows) ----
         def ver_body(carry, i):

@@ -136,13 +136,16 @@ def _kernel(pos_ref,                                     # scalar prefetch
             hid_ref, align_ref, kcol_ref, vcol_ref, ksc_ref, vsc_ref,
             # scratch
             xr, y, acc, qh, pr,
-            *, sched: B1Schedule, d: int, f: int, h: int, dh: int,
+            *, sched: B1Schedule, m: int, d: int, f: int, h: int, dh: int,
             t_ring: int, k_enc: int, n_align: int, self_qmax: float,
             cross_is_int4: bool, align_bf16: bool):
-    """One (layer, phase) grid step. Scratch:
-    xr [1, d] f32 residual stream; y [1, max(3d,f)] f32 GEMV input;
-    acc [1, max(3d,f)] f32 tile accumulator; qh [h, dh] f32 current query heads;
-    pr [h, Tmax] f32 attention scores/probs."""
+    """One (layer, phase) grid step over an M-token block (M=1: plain
+    decode; M=spec window: the assisted-decoding verify pass — block
+    rows are causal among themselves, matching decode_step_multi).
+    Scratch:
+    xr [M, d] f32 residual stream; y [M, max(3d,f)] f32 GEMV input;
+    acc [M, max(3d,f)] f32 tile accumulator; qh [M*h, dh] f32 current
+    query heads; pr [M*h, Tmax] f32 attention scores/probs."""
     li = pl.program_id(0)
     s = pl.program_id(1)
     c = sched
@@ -216,19 +219,23 @@ def _kernel(pos_ref,                                     # scalar prefetch
     @pl.when(s == c.s_qkv + c.n_qkv - 1)
     def _finish_qkv():
         qkv = (acc[:, :3 * d] * qkv_s_ref[0, 0, :][None, :]
-               + qkv_b_ref[0, 0, :][None, :])          # [1, 3d]
-        # q heads (pre-scaled inside the fused weights)
-        qh[...] = qkv[:, :d].reshape(h, dh)
-        # fresh K/V columns, quantized over Dh exactly like decode_step
-        kc = qkv[:, d:2 * d].reshape(h, dh)
-        vc = qkv[:, 2 * d:].reshape(h, dh)
-        for (colv, cref, sref) in ((kc, kcol_ref, ksc_ref),
-                                   (vc, vcol_ref, vsc_ref)):
-            amax = jnp.max(jnp.abs(colv), axis=1, keepdims=True)  # [h,1]
-            sc = jnp.maximum(amax, 1e-8) / qmax
-            q = jnp.clip(jnp.round(colv / sc), -qmax, qmax)
-            cref[0] = q.astype(cref.dtype)
-            sref[0] = sc[:, 0].astype(sref.dtype)
+               + qkv_b_ref[0, 0, :][None, :])          # [M, 3d]
+        for mi in range(m):
+            # q heads (pre-scaled inside the fused weights)
+            qh[mi * h:(mi + 1) * h, :] = qkv[mi, :d].reshape(h, dh)
+            # fresh K/V columns, quantized over Dh exactly like
+            # decode_step; scales bf16-rounded to match the XLA path,
+            # which reads the just-written bf16 cache scale back
+            kc = qkv[mi, d:2 * d].reshape(h, dh)
+            vc = qkv[mi, 2 * d:].reshape(h, dh)
+            for (colv, cref, sref) in ((kc, kcol_ref, ksc_ref),
+                                       (vc, vcol_ref, vsc_ref)):
+                amax = jnp.max(jnp.abs(colv), axis=1, keepdims=True)
+                sc = jnp.maximum(amax, 1e-8) / qmax            # [h, 1]
+                q = jnp.clip(jnp.round(colv / sc), -qmax, qmax)
+                cref[0, mi] = q.astype(cref.dtype)
+                sref[0, mi] = (sc[:, 0].astype(jnp.bfloat16)
+                               .astype(sref.dtype))
 
     # ---- attention primitives: elementwise mult+reduce (trivial VPU
     # work at B=1; avoids the per-head MXU M-tile waste measured in
@@ -265,38 +272,48 @@ def _kernel(pos_ref,                                     # scalar prefetch
 
     @pl.when(s == c.s_selfk)
     def _self_scores():
-        # scores vs ring K (int8, seq-last [h, dh, t]) + fresh column
+        # scores vs ring K (int8, seq-last [h, dh, t]) + the M fresh
+        # columns at slots pos..pos+M-1 (causal among themselves). The
+        # ring content at those slots is stale; fresh scores replace it.
         pos = pos_ref[0]
-        sc = _qk_scores(qh[...], ring_k_ref, t_ring)    # [h, t]
-        sc = sc * ring_ks_ref[0].astype(jnp.float32)
-        # fresh column score at slot `pos` (bf16 scale roundtrip matches
-        # the XLA path, which reads the just-written bf16 scale)
-        ksc = ksc_ref[0].astype(jnp.float32)            # [h]
-        fresh = jnp.sum(qh[...] * kcol_ref[0].astype(jnp.float32),
-                        axis=1) * ksc                   # [h]
-        t_ids = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
-        sc = jnp.where(t_ids == pos, fresh[:, None], sc)
-        sc = jnp.where(t_ids <= pos, sc, _NEG_INF)
-        m = jnp.max(sc, axis=1, keepdims=True)
-        e = jnp.exp(sc - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
-        pr[:, :t_ring] = p
+        for mi in range(m):
+            q_m = qh[mi * h:(mi + 1) * h, :]            # [h, dh]
+            sc = _qk_scores(q_m, ring_k_ref, t_ring)    # [h, t]
+            sc = sc * ring_ks_ref[0].astype(jnp.float32)
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+            for j in range(m):
+                fresh = jnp.sum(
+                    q_m * kcol_ref[0, j].astype(jnp.float32),
+                    axis=1) * ksc_ref[0, j]             # [h]
+                sc = jnp.where(t_ids == pos + j, fresh[:, None], sc)
+            sc = jnp.where(t_ids <= pos + mi, sc, _NEG_INF)
+            mx = jnp.max(sc, axis=1, keepdims=True)
+            e = jnp.exp(sc - mx)
+            pr[mi * h:(mi + 1) * h, :t_ring] = (
+                e / jnp.sum(e, axis=1, keepdims=True))
 
     @pl.when(s == c.s_selfv)
     def _self_out():
         pos = pos_ref[0]
-        p = pr[:, :t_ring]
-        p = p * ring_vs_ref[0].astype(jnp.float32)      # fold v scales
-        vsc = vsc_ref[0].astype(jnp.float32)
-        t_ids = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
-        # fresh V column replaces the (stale) ring column at `pos`:
-        # probs at pos get the fresh scale instead of the ring's
-        p_ring = jnp.where(t_ids == pos, 0.0, p)
-        p_fresh = jnp.where(t_ids == pos, pr[:, :t_ring], 0.0)
-        p_fresh = jnp.sum(p_fresh, axis=1) * vsc        # [h]
-        out = _pv_out(p_ring, ring_v_ref, t_ring)       # [h, dh]
-        out = out + p_fresh[:, None] * vcol_ref[0].astype(jnp.float32)
-        y[:, :d] = out.reshape(1, d)                    # o-proj input
+        for mi in range(m):
+            p = pr[mi * h:(mi + 1) * h, :t_ring]
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+            # per-slot V scales: ring scales, with the fresh scales
+            # replacing the (stale) ring entries at pos..pos+M-1
+            sv = jnp.broadcast_to(ring_vs_ref[0].astype(jnp.float32),
+                                  p.shape)
+            for j in range(m):
+                sv = jnp.where(t_ids == pos + j,
+                               vsc_ref[0, j][:, None], sv)
+            pv = p * sv
+            pv_ring = jnp.where((t_ids >= pos) & (t_ids < pos + m),
+                                0.0, pv)
+            out = _pv_out(pv_ring, ring_v_ref, t_ring)  # [h, dh]
+            for j in range(m):
+                pj = jnp.sum(jnp.where(t_ids == pos + j, pv, 0.0),
+                             axis=1)                    # [h]
+                out += pj[:, None] * vcol_ref[0, j].astype(jnp.float32)
+            y[mi:mi + 1, :d] = out.reshape(1, d)        # o-proj input
         acc[...] = jnp.zeros_like(acc)
 
     @pl.when(s == c.s_o + c.n_o - 1)
@@ -309,31 +326,38 @@ def _kernel(pos_ref,                                     # scalar prefetch
     @pl.when(s == c.s_cq + c.n_cq - 1)
     def _finish_cq():
         qc = (acc[:, :d] * cq_s_ref[0, 0, :][None, :]
-              + cq_b_ref[0, 0, :][None, :])
-        qh[...] = qc.reshape(h, dh)
+              + cq_b_ref[0, 0, :][None, :])             # [M, d]
+        for mi in range(m):
+            qh[mi * h:(mi + 1) * h, :] = qc[mi].reshape(h, dh)
 
     @pl.when(s == c.s_crossk)
     def _cross_scores():
-        sc = _qk_scores(qh[...], cross_k_ref, k_enc)    # [h, K]
-        sc = sc * cross_ks_ref[0].astype(jnp.float32)
-        m = jnp.max(sc, axis=1, keepdims=True)
-        e = jnp.exp(sc - m)
-        pr[:, :k_enc] = e / jnp.sum(e, axis=1, keepdims=True)
+        for mi in range(m):
+            q_m = qh[mi * h:(mi + 1) * h, :]
+            sc = _qk_scores(q_m, cross_k_ref, k_enc)    # [h, K]
+            sc = sc * cross_ks_ref[0].astype(jnp.float32)
+            mx = jnp.max(sc, axis=1, keepdims=True)
+            e = jnp.exp(sc - mx)
+            pr[mi * h:(mi + 1) * h, :k_enc] = (
+                e / jnp.sum(e, axis=1, keepdims=True))
 
     @pl.when(s == c.s_crossv)
     def _cross_out():
-        p = pr[:, :k_enc]
-        # alignment capture: one-hot selector row for this layer; round
-        # to bf16 first (parity with the XLA stacked-bf16 accumulation)
-        contrib = jax.lax.dot_general(
-            sel_ref[0], p, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # [A, K]
-        if align_bf16:
-            contrib = contrib.astype(jnp.bfloat16).astype(jnp.float32)
-        align_ref[...] += contrib
-        pv = p * cross_vs_ref[0].astype(jnp.float32)
-        out = _pv_out(pv, cross_v_ref, k_enc)           # [h, dh]
-        y[:, :d] = out.reshape(1, d)
+        for mi in range(m):
+            p = pr[mi * h:(mi + 1) * h, :k_enc]
+            # alignment capture: one-hot selector row for this layer;
+            # round to bf16 first (parity with the XLA stacked-bf16
+            # accumulation)
+            contrib = jax.lax.dot_general(
+                sel_ref[0], p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [A, K]
+            if align_bf16:
+                contrib = (contrib.astype(jnp.bfloat16)
+                           .astype(jnp.float32))
+            align_ref[:, mi, :] += contrib
+            pv = p * cross_vs_ref[0].astype(jnp.float32)
+            out = _pv_out(pv, cross_v_ref, k_enc)       # [h, dh]
+            y[mi:mi + 1, :d] = out.reshape(1, d)
         acc[...] = jnp.zeros_like(acc)
 
     @pl.when(s == c.s_co + c.n_co - 1)
@@ -390,7 +414,7 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
      co_w, co_s, co_b, m1_w, m1_s, m1_b, m2_w, m2_s, m2_b,
      ring_k, ring_v, ring_ks, ring_vs,
      cross_k, cross_v, cross_ks, cross_vs, sel) = operands
-    (L, d, f, h, dh, t_ring, k_enc, n_align, self_qmax, cross_is_int4,
+    (L, m, d, f, h, dh, t_ring, k_enc, n_align, self_qmax, cross_is_int4,
      align_bf16, tile_bytes) = arch_key
     sched = make_schedule(d, f, tile_bytes)
     c = sched
@@ -417,32 +441,32 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
         lspec(sel),
     ]
     out_shapes = (
-        jax.ShapeDtypeStruct((1, d), jnp.float32),            # hid
-        jax.ShapeDtypeStruct((n_align, k_enc), jnp.float32),  # align
-        jax.ShapeDtypeStruct((L, h, dh), jnp.int8),           # kcol
-        jax.ShapeDtypeStruct((L, h, dh), jnp.int8),           # vcol
-        jax.ShapeDtypeStruct((L, h), jnp.float32),            # ksc
-        jax.ShapeDtypeStruct((L, h), jnp.float32),            # vsc
+        jax.ShapeDtypeStruct((m, d), jnp.float32),               # hid
+        jax.ShapeDtypeStruct((n_align, m, k_enc), jnp.float32),  # align
+        jax.ShapeDtypeStruct((L, m, h, dh), jnp.int8),           # kcol
+        jax.ShapeDtypeStruct((L, m, h, dh), jnp.int8),           # vcol
+        jax.ShapeDtypeStruct((L, m, h), jnp.float32),            # ksc
+        jax.ShapeDtypeStruct((L, m, h), jnp.float32),            # vsc
     )
     out_specs = (
-        pl.BlockSpec((1, d), _const2),
-        pl.BlockSpec((n_align, k_enc), _const2),
-        pl.BlockSpec((1, h, dh), _layermap),
-        pl.BlockSpec((1, h, dh), _layermap),
-        pl.BlockSpec((1, h), lambda l, s, pos: (l, 0)),
-        pl.BlockSpec((1, h), lambda l, s, pos: (l, 0)),
+        pl.BlockSpec((m, d), _const2),
+        pl.BlockSpec((n_align, m, k_enc), lambda l, s, pos: (0, 0, 0)),
+        pl.BlockSpec((1, m, h, dh), _layermap4),
+        pl.BlockSpec((1, m, h, dh), _layermap4),
+        pl.BlockSpec((1, m, h), _layermap),
+        pl.BlockSpec((1, m, h), _layermap),
     )
     t_max = max(t_ring, k_enc)
     wide = max(3 * d, f)
     scratch = [
-        pltpu.VMEM((1, d), jnp.float32),        # xr
-        pltpu.VMEM((1, wide), jnp.float32),     # y
-        pltpu.VMEM((1, wide), jnp.float32),     # acc
-        pltpu.VMEM((h, dh), jnp.float32),       # qh
-        pltpu.VMEM((h, t_max), jnp.float32),    # pr
+        pltpu.VMEM((m, d), jnp.float32),          # xr
+        pltpu.VMEM((m, wide), jnp.float32),       # y
+        pltpu.VMEM((m, wide), jnp.float32),       # acc
+        pltpu.VMEM((m * h, dh), jnp.float32),     # qh
+        pltpu.VMEM((m * h, t_max), jnp.float32),  # pr
     ]
     kern = functools.partial(
-        _kernel, sched=sched, d=d, f=f, h=h, dh=dh, t_ring=t_ring,
+        _kernel, sched=sched, m=m, d=d, f=f, h=h, dh=dh, t_ring=t_ring,
         k_enc=k_enc, n_align=n_align, self_qmax=self_qmax,
         cross_is_int4=cross_is_int4, align_bf16=align_bf16)
     return pl.pallas_call(
@@ -479,29 +503,18 @@ def supported(params: Any, arch, cache, key_mask, beam_groups: int,
             and cache.cross_k.dtype in (jnp.int8, jnp.int4))
 
 
-def decode_step_b1(params: Any, arch, tokens, position, cache,
-                   align_sel=None, align_dtype=jnp.float32,
-                   interpret: bool | None = None):
-    """Drop-in replacement for models/whisper.decode_step at batch 1 in
-    the gated serving configuration (see `supported`). Returns
-    (logits [1, V] f32, new cache, align_probs [1, A, K] f32).
-
-    interpret=None auto-selects: Mosaic on TPU, interpret mode on the
-    CPU backend (tests / multichip dryrun)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
+                align_dtype, interpret, m: int):
+    """Shared operand prep + kernel invocation for an M-token block.
+    Returns (hid [M, d] f32, align [A, M, K] f32,
+             kcol/vcol [L, M, h, dh] int8, ksc/vsc [L, M, h] f32)."""
     dec = params["decoder"]
     lay = dec["layers"]
     L = arch.decoder_layers
     h = arch.decoder_attention_heads
-    d = arch.d_model
     dh = arch.head_dim
     t_ring = cache.self_k.shape[-1]
     k_enc = cache.cross_k.shape[-1]
-    position = jnp.asarray(position, jnp.int32)
-
-    x0 = (dec["tok_emb"][tokens].astype(jnp.float32)
-          + dec["pos_emb"][position][None].astype(jnp.float32))  # [1, d]
 
     lns = jnp.stack([lay["ln1"]["scale"], lay["ln1"]["bias"],
                      lay["ln2"]["scale"], lay["ln2"]["bias"],
@@ -546,11 +559,42 @@ def decode_step_b1(params: Any, arch, tokens, position, cache,
         cache.cross_v_scale[:, 0].astype(jnp.float32),
         sel,
     )
-    arch_key = (L, d, arch.decoder_ffn_dim, h, dh, t_ring, k_enc,
-                n_align, 127.0, cross_is_int4,
+    arch_key = (L, m, arch.d_model, arch.decoder_ffn_dim, h, dh, t_ring,
+                k_enc, n_align, 127.0, cross_is_int4,
                 jnp.dtype(align_dtype) == jnp.bfloat16, 768 * 1024)
-    hid, align, kcol, vcol, ksc, vsc = _call_kernel(
-        operands, position, arch_key, interpret=interpret)
+    return _call_kernel(operands, position, arch_key, interpret=interpret)
+
+
+def _lm_head(dec, hid):
+    """Final LN + tied LM head (XLA ops, identical to decode_step):
+    hid [M, d] f32 -> logits [1, M, V] f32."""
+    from ..models.whisper import layer_norm
+    act_dtype = dec["tok_emb"].dtype
+    x = layer_norm(hid.astype(act_dtype)[None], dec["ln"])
+    return jnp.einsum("bsd,vd->bsv", x, dec["tok_emb"].astype(act_dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def decode_step_b1(params: Any, arch, tokens, position, cache,
+                   align_sel=None, align_dtype=jnp.float32,
+                   interpret: bool | None = None):
+    """Drop-in replacement for models/whisper.decode_step at batch 1 in
+    the gated serving configuration (see `supported`). Returns
+    (logits [1, V] f32, new cache, align_probs [1, A, K] f32).
+
+    interpret=None auto-selects: Mosaic on TPU, interpret mode on the
+    CPU backend (tests / multichip dryrun)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dec = params["decoder"]
+    position = jnp.asarray(position, jnp.int32)
+    x0 = (dec["tok_emb"][tokens].astype(jnp.float32)
+          + dec["pos_emb"][position][None].astype(jnp.float32))  # [1, d]
+    hid, align, kcol, vcol, ksc, vsc = _run_kernel(
+        params, arch, x0, position, cache, align_sel, align_dtype,
+        interpret, m=1)
+    kcol, vcol = kcol[:, 0], vcol[:, 0]
+    ksc, vsc = ksc[:, 0], vsc[:, 0]
 
     # ---- ring column update (ONE batched write per tensor per step) ----
     new_k = jax.lax.dynamic_update_slice(
@@ -568,13 +612,62 @@ def decode_step_b1(params: Any, arch, tokens, position, cache,
     new_cache = cache._replace(self_k=new_k, self_v=new_v,
                                self_k_scale=new_ks, self_v_scale=new_vs)
 
-    # ---- final LN + tied LM head (XLA ops, identical to decode_step) ----
-    from ..models.whisper import layer_norm
-    act_dtype = dec["tok_emb"].dtype
-    x = layer_norm(hid.astype(act_dtype)[:, None, :], dec["ln"])
-    logits = jnp.einsum("btd,vd->btv", x, dec["tok_emb"].astype(act_dtype),
-                        preferred_element_type=jnp.float32)[:, 0]
-    align_probs = align[None].astype(jnp.float32)        # [1, A, K]
+    logits = _lm_head(dec, hid)[:, 0]
+    align_probs = align[:, 0][None].astype(jnp.float32)  # [1, A, K]
     if align_sel is None:
-        align_probs = jnp.zeros((1, 1, k_enc), jnp.float32)
+        align_probs = jnp.zeros((1, 1, cache.cross_k.shape[-1]),
+                                jnp.float32)
+    return logits, new_cache, align_probs
+
+
+def decode_step_b1_multi(params: Any, arch, tokens, position, cache,
+                         align_sel=None, align_dtype=jnp.float32,
+                         interpret: bool | None = None):
+    """Batch-1 M-token block step: the kernel analog of
+    models/whisper.decode_step_multi for the assisted-decoding VERIFY
+    pass (block rows causal among themselves; all M fresh K/V columns
+    quantized and written at ring slots [position, position+M)).
+
+    tokens: int32 [1, S]; position: scalar int32. Returns
+    (logits [1, S, V] f32, new cache, align_probs [1, A, S, K] f32).
+
+    The verify pass is the whole device cost of draft-free prompt-lookup
+    speculation, so this kernel compounds with it: speculation amortizes
+    cache reads over the window, the kernel removes the per-op weight
+    -stream bubbles of the scanned XLA block step."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dec = params["decoder"]
+    position = jnp.asarray(position, jnp.int32)
+    s = tokens.shape[1]
+    pos_vec = position + jnp.arange(s)
+    x0 = (dec["tok_emb"][tokens[0]].astype(jnp.float32)
+          + dec["pos_emb"][pos_vec].astype(jnp.float32))         # [S, d]
+    hid, align, kcol, vcol, ksc, vsc = _run_kernel(
+        params, arch, x0, position, cache, align_sel, align_dtype,
+        interpret, m=s)
+
+    # ---- ring block update: S contiguous columns per tensor ----
+    new_k = jax.lax.dynamic_update_slice(
+        cache.self_k, jnp.transpose(kcol, (0, 2, 3, 1))[:, None],
+        (0, 0, 0, 0, position))
+    new_v = jax.lax.dynamic_update_slice(
+        cache.self_v, jnp.transpose(vcol, (0, 2, 3, 1))[:, None],
+        (0, 0, 0, 0, position))
+    new_ks = jax.lax.dynamic_update_slice(
+        cache.self_k_scale,
+        jnp.transpose(ksc, (0, 2, 1))[:, None]
+        .astype(cache.self_k_scale.dtype), (0, 0, 0, position))
+    new_vs = jax.lax.dynamic_update_slice(
+        cache.self_v_scale,
+        jnp.transpose(vsc, (0, 2, 1))[:, None]
+        .astype(cache.self_v_scale.dtype), (0, 0, 0, position))
+    new_cache = cache._replace(self_k=new_k, self_v=new_v,
+                               self_k_scale=new_ks, self_v_scale=new_vs)
+
+    logits = _lm_head(dec, hid)                          # [1, S, V]
+    align_probs = align[None].astype(jnp.float32)        # [1, A, S, K]
+    if align_sel is None:
+        align_probs = jnp.zeros((1, 1, s, cache.cross_k.shape[-1]),
+                                jnp.float32)
     return logits, new_cache, align_probs

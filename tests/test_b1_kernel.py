@@ -125,3 +125,84 @@ def test_b1_kernel_supported_gate():
     unfused = quantize_decoder_weights(
         init_params(arch, jax.random.PRNGKey(0)))
     assert not ok(params=unfused)                               # no fused qkv
+
+
+def test_b1_kernel_multi_parity():
+    """M-token block step vs decode_step_multi (the assisted verify
+    pass): argmax agreement per block row, logits within the numerics
+    band, ring block columns within 1 LSB; and at S=1 the multi kernel
+    must be BITWISE identical to the single-token kernel."""
+    from crisperwhisper_tpu.models import decode_step_multi
+    from crisperwhisper_tpu.ops.pallas_decode_b1 import decode_step_b1_multi
+
+    arch, params, cache, sel = _setup(jnp.int8)
+    # shared warm ring: 3 XLA single steps populate both sides equally
+    ca = cb = cache
+    for i, tok in enumerate((7, 11, 13)):
+        tt = jnp.asarray([tok], jnp.int32)
+        _, ca, _ = decode_step(params, arch, tt, jnp.int32(i), ca,
+                               align_sel=sel)
+        _, cb, _ = decode_step(params, arch, tt, jnp.int32(i), cb,
+                               align_sel=sel)
+    block = jnp.asarray([[17, 19, 23, 29]], jnp.int32)
+    la, ca2, aa = decode_step_multi(params, arch, block, jnp.int32(3), ca,
+                                    align_sel=sel)
+    lb, cb2, ab = decode_step_b1_multi(params, arch, block, jnp.int32(3),
+                                       cb, align_sel=sel, interpret=True)
+    la, lb = np.asarray(la), np.asarray(lb)
+    assert la.shape == lb.shape == (1, 4, arch.vocab_size)
+    for i in range(4):
+        assert la[0, i].argmax() == lb[0, i].argmax(), i
+    np.testing.assert_allclose(lb, la, atol=5e-3)
+    assert np.asarray(ab).shape == np.asarray(aa).shape
+    np.testing.assert_allclose(np.asarray(ab), np.asarray(aa), atol=1e-4)
+    assert np.abs(np.asarray(ca2.self_k, np.int32)
+                  - np.asarray(cb2.self_k, np.int32)).max() <= 1
+    assert np.abs(np.asarray(ca2.self_v, np.int32)
+                  - np.asarray(cb2.self_v, np.int32)).max() <= 1
+    np.testing.assert_allclose(
+        np.asarray(cb2.self_k_scale, np.float32),
+        np.asarray(ca2.self_k_scale, np.float32), rtol=1e-2, atol=1e-6)
+
+    # S=1 block == single-token kernel, bitwise
+    one = jnp.asarray([[17]], jnp.int32)
+    l1, c1, a1 = decode_step_b1(params, arch, one[:, 0], jnp.int32(3), cb,
+                                align_sel=sel, interpret=True)
+    lm, cm, am = decode_step_b1_multi(params, arch, one, jnp.int32(3), cb,
+                                      align_sel=sel, interpret=True)
+    np.testing.assert_array_equal(np.asarray(lm[:, 0]), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(am[:, :, 0]), np.asarray(a1))
+    np.testing.assert_array_equal(np.asarray(cm.self_k), np.asarray(c1.self_k))
+    np.testing.assert_array_equal(np.asarray(cm.self_k_scale),
+                                  np.asarray(c1.self_k_scale))
+
+
+def test_b1_kernel_assisted_prompt_lookup():
+    """Prompt-lookup assisted decoding with the B=1 kernel verify must
+    equal greedy decoding with the B=1 kernel (the exactness contract
+    under the kernel's own numerics): the multi-block kernel chains the
+    same per-row math as the single-token kernel."""
+    from crisperwhisper_tpu.config import GenerationOptions
+    from crisperwhisper_tpu.decoding.assisted import assisted_decode_jit
+    from crisperwhisper_tpu.decoding.greedy import greedy_decode_jit
+    from helpers import TINY_SPECIALS
+
+    arch, params, _, sel = _setup()
+    mel = rand_mel(batch=1, seed=5)
+    enc = encode(params, arch, jnp.asarray(mel))
+    prompt = jnp.full((1, 1), TINY_SPECIALS.sot, jnp.int32)
+    opts = GenerationOptions(max_initial_timestamp_index=50,
+                             b1_decode_kernel=True)
+    kw = dict(align_sel=sel, cross_cache_dtype=jnp.int8,
+              self_cache_dtype=jnp.int8)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc,
+                            prompt, 16, **kw)
+    got = assisted_decode_jit(params, arch, None, None, TINY_SPECIALS,
+                              opts, enc, None, prompt, 16, spec_len=3,
+                              **kw)
+    np.testing.assert_array_equal(np.asarray(ref.sequences),
+                                  np.asarray(got.sequences))
+    np.testing.assert_array_equal(np.asarray(ref.num_generated),
+                                  np.asarray(got.num_generated))
+    np.testing.assert_allclose(np.asarray(got.align_probs),
+                               np.asarray(ref.align_probs), atol=2e-3)
