@@ -113,8 +113,10 @@ def main():
     enc_fn = jax.jit(lambda p, a: encode(
         p, arch, log_mel_spectrogram(a, feat_cfg, dtype=dtype)))
 
-    def run_device(params, audio, n_tokens, assistant=False):
+    def run_device(params, audio, n_tokens, assistant=False,
+                   opts_override=None):
         b = audio.shape[0]
+        o = opts_override if opts_override is not None else opts
         prompt = jnp.full((b, 1), sp.sot, jnp.int32)
         enc = enc_fn(params, audio)
         common = dict(suppress_mask=suppress, align_sel=align_sel,
@@ -125,11 +127,11 @@ def main():
             from crisperwhisper_tpu.decoding.assisted import (
                 assisted_decode_jit)
             res = assisted_decode_jit(
-                params, arch, None, None, sp, opts, enc, None, prompt,
+                params, arch, None, None, sp, o, enc, None, prompt,
                 n_tokens, spec_len=5, **common)
         else:
             res = greedy_decode_jit(
-                params, arch, sp, opts, enc, prompt, n_tokens, **common)
+                params, arch, sp, o, enc, prompt, n_tokens, **common)
         jumps = attention_to_jump_times(
             res.align_probs.astype(jnp.float32), 7,
             jnp.maximum(res.num_generated - 1, 0),
@@ -334,6 +336,33 @@ def main():
                                         if plain_s else None)}
         rows.append(row)
         print(f"# row: {json.dumps(row)}", flush=True)
+
+        # compound: prompt-lookup speculation with the B=1 kernel doing
+        # the verify blocks (the two single-stream levers together)
+        if (os.environ.get("BENCH_B1_KERNEL", "1") != "0" and on_tpu
+                and W_BITS == 8 and SELF_KV == "int8"):
+            opts_sk = GenerationOptions(max_initial_timestamp_index=50,
+                                        b1_decode_kernel=True)
+            try:
+                materialize(run_device(params, audio1, n_tokens,
+                                       assistant=True,
+                                       opts_override=opts_sk))
+                t0 = time.perf_counter()
+                for _ in range(ITERS):
+                    materialize(run_device(params, audio1, n_tokens,
+                                           assistant=True,
+                                           opts_override=opts_sk))
+                sk_s = (time.perf_counter() - t0) / ITERS
+                row = {"mode": "prompt_lookup_spec_b1_kernel", "batch": 1,
+                       "tokens_per_chunk": n_tokens, "spec_len": 5,
+                       "latency_ms_per_30s_chunk": round(sk_s * 1e3, 1),
+                       "speedup_vs_greedy_b1": (round(plain_s / sk_s, 2)
+                                                if plain_s else None)}
+                rows.append(row)
+                print(f"# row: {json.dumps(row)}", flush=True)
+            except Exception as e:                # pragma: no cover
+                print(f"# spec+b1-kernel row skipped: "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
     if headline is None:                    # HEADLINE_TOKENS not in rows
         headline = next((r.get("rtfx_e2e", r.get("rtfx_device"))
