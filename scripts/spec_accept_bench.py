@@ -58,7 +58,11 @@ def main():
                    i % arch.decoder_attention_heads) for i in range(15))
     align_sel = jnp.asarray(alignment_selector(arch, heads))
     suppress = jnp.asarray(suppress_tokens_mask(arch.vocab_size, (sp.eot,)))
-    opts = GenerationOptions(max_initial_timestamp_index=50)
+    # B1K=1: route single steps AND verify blocks through the batch-1
+    # Pallas kernel (B must be 1) — sweeps the compound lever
+    opts = GenerationOptions(max_initial_timestamp_index=50,
+                             b1_decode_kernel=(
+                                 os.environ.get("B1K", "0") == "1"))
     rng = np.random.default_rng(0)
     mel = rng.standard_normal(
         (B, arch.num_mel_bins, 2 * arch.max_source_positions)
