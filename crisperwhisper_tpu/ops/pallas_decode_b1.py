@@ -138,7 +138,7 @@ def _kernel(pos_ref,                                     # scalar prefetch
             xr, y, acc, qh, pr,
             *, sched: B1Schedule, m: int, d: int, f: int, h: int, dh: int,
             t_ring: int, k_enc: int, n_align: int, self_qmax: float,
-            cross_is_int4: bool, align_bf16: bool):
+            cross_is_int4: bool, align_bf16: bool, chunk: int = 512):
     """One (layer, phase) grid step over an M-token block (M=1: plain
     decode; M=spec window: the assisted-decoding verify pass — block
     rows are causal among themselves, matching decode_step_multi).
@@ -240,10 +240,11 @@ def _kernel(pos_ref,                                     # scalar prefetch
     # ---- attention primitives: elementwise mult+reduce (trivial VPU
     # work at B=1; avoids the per-head MXU M-tile waste measured in
     # experiments/decode_gemv_v3). The [h, dh, T] broadcast temp is
-    # bounded by processing the T axis in STATIC chunks (<=512 keeps the
-    # f32 temp ~2.6 MB; T and k_enc are static, so this is a python
-    # loop with static slices — no dynamic control flow).
-    _CHUNK = 512
+    # bounded by processing the T axis in STATIC chunks (512 keeps the
+    # f32 temp ~2.6 MB; the M-token variant uses 256 — see the VMEM
+    # budget note in decode_step_b1_multi). T and k_enc are static, so
+    # this is a python loop with static slices — no dynamic control flow.
+    _CHUNK = chunk
 
     def _qk_scores(q, k_ref, width):
         """s[h, t] = sum_d q[h, d] * k_ref[0][h, d, t], t-chunked."""
@@ -415,7 +416,7 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
      ring_k, ring_v, ring_ks, ring_vs,
      cross_k, cross_v, cross_ks, cross_vs, sel) = operands
     (L, m, d, f, h, dh, t_ring, k_enc, n_align, self_qmax, cross_is_int4,
-     align_bf16, tile_bytes) = arch_key
+     align_bf16, tile_bytes, chunk) = arch_key
     sched = make_schedule(d, f, tile_bytes)
     c = sched
 
@@ -468,7 +469,7 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
     kern = functools.partial(
         _kernel, sched=sched, m=m, d=d, f=f, h=h, dh=dh, t_ring=t_ring,
         k_enc=k_enc, n_align=n_align, self_qmax=self_qmax,
-        cross_is_int4=cross_is_int4, align_bf16=align_bf16)
+        cross_is_int4=cross_is_int4, align_bf16=align_bf16, chunk=chunk)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -559,9 +560,16 @@ def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
         cache.cross_v_scale[:, 0].astype(jnp.float32),
         sel,
     )
+    # VMEM budget: the M-token variant carries M-row scratch, an [A, M,
+    # K] align block, and M*h probability rows on top of the double
+    # -buffered weight tiles — shrink tiles (768 -> 512 KB) and the
+    # attention T-chunks (512 -> 256) to stay inside the 16 MB scoped
+    # VMEM limit at large-v3 geometry (m=6, K=1500, ring 384).
+    tile_bytes = 768 * 1024 if m == 1 else 512 * 1024
+    chunk = 512 if m == 1 else 256
     arch_key = (L, m, arch.d_model, arch.decoder_ffn_dim, h, dh, t_ring,
                 k_enc, n_align, 127.0, cross_is_int4,
-                jnp.dtype(align_dtype) == jnp.bfloat16, 768 * 1024)
+                jnp.dtype(align_dtype) == jnp.bfloat16, tile_bytes, chunk)
     return _call_kernel(operands, position, arch_key, interpret=interpret)
 
 
