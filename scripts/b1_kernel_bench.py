@@ -38,51 +38,53 @@ VARIANTS = os.environ.get("VARIANTS", "xla,kernel").split(",")
 def main():
     arch = WhisperArch.large_v3()
 
-    # Param prep pitfalls on axon (both measured >14 min): eager
+    # Param prep pitfalls on axon (each measured >14 min): eager
     # per-leaf init is hundreds of tunnel dispatches; a jitted build with
     # CONSTANT inputs gets constant-folded on the host single-threaded;
-    # a jitted build with a runtime key still needs a slow remote compile
-    # of the full init+quantize program. Fastest: numpy on the host,
-    # one device_put per leaf of the final (already-quantized) pytree.
+    # jitting the full init+quantize program needs a slow remote compile;
+    # and host numpy + device_put moves ~1 GB through the ~1 MB/s tunnel
+    # (834 s measured, and a transient UNAVAILABLE loses the whole run).
+    # Fastest + robust: ONE lean jitted randint program generates the
+    # already-quantized pytree entirely on device — values are arbitrary
+    # (timing/parity only needs both variants to read the SAME arrays).
     t0 = time.perf_counter()
-    rng = np.random.default_rng(0)
-
-    def dense_q(k, n):
-        w = rng.standard_normal((L, k, n), np.float32) * 0.02
-        amax = np.maximum(np.abs(w).max(axis=1, keepdims=True), 1e-8)
-        return {"w_q": jnp.asarray(
-                    np.clip(np.round(w / (amax / 127)), -127, 127)
-                    .astype(np.int8)),
-                "w_scale": jnp.asarray((amax / 127)[:, 0][:, None]
-                                       .astype(np.float32), jnp.bfloat16),
-                "b": jnp.asarray(np.zeros((L, n), np.float32)
-                                 + rng.standard_normal(n) * 0.01,
-                                 jnp.bfloat16)}
-
     L, d, f = arch.decoder_layers, arch.d_model, arch.decoder_ffn_dim
-    ln = lambda: {"scale": jnp.asarray(   # noqa: E731
-                      np.ones((L, d), np.float32), jnp.bfloat16),
-                  "bias": jnp.asarray(
-                      rng.standard_normal((L, d)).astype(np.float32) * .01,
-                      jnp.bfloat16)}
-    layers = {
-        "ln1": ln(), "ln2": ln(), "ln3": ln(),
-        "self": {"qkv": dense_q(d, 3 * d), "o": dense_q(d, d)},
-        "cross": {"q": dense_q(d, d), "k": dense_q(d, d),
-                  "v": dense_q(d, d), "o": dense_q(d, d)},
-        "mlp": {"fc1": dense_q(d, f), "fc2": dense_q(f, d)},
-    }
-    params = {"decoder": {
-        "layers": layers,
-        "tok_emb": jnp.asarray(
-            rng.standard_normal((arch.vocab_size, d)).astype(np.float32)
-            * 0.02, jnp.bfloat16),
-        "pos_emb": jnp.asarray(
-            rng.standard_normal((arch.max_target_positions, d))
-            .astype(np.float32) * 0.02, jnp.bfloat16),
-        "ln": {"scale": jnp.asarray(np.ones(d, np.float32), jnp.bfloat16),
-               "bias": jnp.asarray(np.zeros(d, np.float32), jnp.bfloat16)},
-    }}
+
+    @jax.jit
+    def build(key):
+        kit = iter(jax.random.split(key, 40))
+
+        def dense_q(k, n):
+            return {"w_q": jax.random.randint(next(kit), (L, k, n),
+                                              -127, 128, jnp.int8),
+                    "w_scale": jnp.full((L, 1, n), 0.02 / 127,
+                                        jnp.bfloat16),
+                    "b": (jax.random.normal(next(kit), (L, n),
+                                            jnp.bfloat16) * 0.01)}
+
+        def ln():
+            return {"scale": jnp.ones((L, d), jnp.bfloat16),
+                    "bias": (jax.random.normal(next(kit), (L, d),
+                                               jnp.bfloat16) * 0.01)}
+
+        return {"decoder": {
+            "layers": {
+                "ln1": ln(), "ln2": ln(), "ln3": ln(),
+                "self": {"qkv": dense_q(d, 3 * d), "o": dense_q(d, d)},
+                "cross": {"q": dense_q(d, d), "k": dense_q(d, d),
+                          "v": dense_q(d, d), "o": dense_q(d, d)},
+                "mlp": {"fc1": dense_q(d, f), "fc2": dense_q(f, d)},
+            },
+            "tok_emb": jax.random.normal(next(kit), (arch.vocab_size, d),
+                                         jnp.bfloat16) * 0.02,
+            "pos_emb": jax.random.normal(
+                next(kit), (arch.max_target_positions, d),
+                jnp.bfloat16) * 0.02,
+            "ln": {"scale": jnp.ones((d,), jnp.bfloat16),
+                   "bias": jnp.zeros((d,), jnp.bfloat16)},
+        }}
+
+    params = jax.block_until_ready(build(jax.random.PRNGKey(0)))
     print(f"# param build: {time.perf_counter() - t0:.0f} s", flush=True)
     enc = jnp.asarray(
         np.random.default_rng(0).standard_normal(
@@ -108,8 +110,37 @@ def main():
             return tok, acc
         return run
 
+    def loop_multi(step_fn, blk):
+        """Chained M-token verify blocks (the assisted-decoding shape):
+        each block feeds its own argmax tail forward."""
+        @jax.jit
+        def run(cache, tok0):
+            def body(i, carry):
+                tok, cache, acc = carry
+                block = jnp.concatenate(
+                    [tok[:, None], jnp.full((1, blk - 1), 7, jnp.int32)],
+                    axis=1)
+                logits, cache, align = step_fn(
+                    params, arch, block, i * blk, cache, align_sel=sel)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return (nxt, cache, acc + align.sum())
+            tok, cache, acc = jax.lax.fori_loop(
+                0, N // blk, body, (tok0, cache, jnp.float32(0)))
+            return tok, acc
+        return run
+
     for name in VARIANTS:
-        fn = loop(decode_step if name == "xla" else decode_step_b1)
+        if name.endswith("_multi"):
+            from crisperwhisper_tpu.models import decode_step_multi
+            from crisperwhisper_tpu.ops.pallas_decode_b1 import (
+                decode_step_b1_multi)
+            blk = int(os.environ.get("BLK", "6"))
+            fn = loop_multi(decode_step_multi if name == "xla_multi"
+                            else decode_step_b1_multi, blk)
+            denom = (N // blk) * blk
+        else:
+            fn = loop(decode_step if name == "xla" else decode_step_b1)
+            denom = N
         tok0 = jnp.asarray([7], jnp.int32)
         t0 = time.perf_counter()
         out = jax.block_until_ready(fn(cache0, tok0))
@@ -119,8 +150,8 @@ def main():
             t0 = time.perf_counter()
             out = jax.block_until_ready(fn(cache0, tok0))
             best = min(best, time.perf_counter() - t0)
-        print(f"{name:8s} {best:7.3f} s = {best / N * 1e3:6.2f} ms/step "
-              f"(compile {compile_s:.0f} s, tok {int(out[0][0])}, "
+        print(f"{name:12s} {best:7.3f} s = {best / denom * 1e3:6.2f} "
+              f"ms/token (compile {compile_s:.0f} s, tok {int(out[0][0])}, "
               f"acc {float(out[1]):.3e})", flush=True)
 
 
