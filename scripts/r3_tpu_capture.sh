@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-3 TPU measurement capture: runs every pending on-chip benchmark
+# in priority order, appending raw output to a timestamped log. Safe to
+# re-run; each step is individually timed out so one wedged program (or
+# a mid-run tunnel drop) cannot eat the whole budget.
+#
+# Pending measurements this captures (NOTES_ROUND3.md):
+#   1. B=1 whole-step Pallas decoder kernel vs XLA step (single-token
+#      and M-token verify-block variants) — the round's open claim.
+#   2. Full bench.py (headline rows + single-stream + kernel + compound
+#      prompt-lookup rows + host calibration).
+#   3. Live-streams serving scenario (BASELINE.json config 5).
+#   4. Acceptance sweep with the kernel knob (spec curve + kernel).
+#
+# Usage: bash scripts/r3_tpu_capture.sh [logfile]
+set -u
+cd "$(dirname "$0")/.."
+LOG="${1:-/tmp/r3_tpu_capture.log}"
+
+say() { echo "=== [$(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
+
+say "capture start"
+
+say "0. smoke (device reachable?)"
+timeout 300 python scripts/tpu_smoke.py >> "$LOG" 2>&1
+rc=$?
+if [ $rc -ne 0 ]; then
+  say "smoke failed rc=$rc — tunnel still down; aborting"
+  exit 1
+fi
+
+say "1a. b1 kernel bench: single-token (xla vs kernel)"
+timeout 1800 env VARIANTS=xla,kernel python scripts/b1_kernel_bench.py 128 \
+  >> "$LOG" 2>&1 || say "b1 single rc=$?"
+
+say "1b. b1 kernel bench: M-token verify blocks (BLK=6)"
+timeout 1800 env VARIANTS=xla_multi,kernel_multi BLK=6 \
+  python scripts/b1_kernel_bench.py 126 >> "$LOG" 2>&1 || say "b1 multi rc=$?"
+
+say "2. full bench.py"
+timeout 3600 python bench.py >> "$LOG" 2>&1 || say "bench rc=$?"
+
+say "3. live streams (16 x 120 s)"
+timeout 2400 python scripts/live_streams_bench.py 16 120 >> "$LOG" 2>&1 \
+  || say "live rc=$?"
+
+say "4. acceptance sweep with kernel (B=1)"
+timeout 2400 env B1K=1 python scripts/spec_accept_bench.py 1 \
+  >> "$LOG" 2>&1 || say "sweep rc=$?"
+
+say "capture done — log at $LOG"
