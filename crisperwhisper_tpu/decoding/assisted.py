@@ -186,9 +186,29 @@ def assisted_decode(params: Any, arch: WhisperArch,
     cache = init_cache(params, arch, encoder_out,
                        cross_dtype=cross_cache_dtype,
                        cache_len=t_total + s, self_dtype=self_cache_dtype)
+    # Draft chain through the batch-1 kernel (single-stream serving with
+    # a REAL draft, e.g. make_self_draft): eligible when the kernel gate
+    # is requested at B=1 and the draft weights are fused+quantized (a
+    # self-draft sliced from quantized main params always is). The draft
+    # cache is then built in the kernel's gated layout (quantized cross
+    # + int8 self ring). Draft numerics only move the ACCEPTANCE RATE —
+    # the verify pass pins the output — so this is a pure perf option;
+    # when ineligible the draft chain stays on the bf16 XLA step.
+    def _quantized_fused(prm):
+        lay = prm["decoder"]["layers"]
+        return ("qkv" in lay["self"] and "w_q" in lay["self"]["qkv"]
+                and "w_q" in lay["mlp"]["fc1"])
+    draft_quant = (use_draft_model and b == 1
+                   and getattr(opts, "b1_decode_kernel", False)
+                   and pos_offset is None and prompt_mask is None
+                   and cross_cache_dtype in (jnp.int8, jnp.int4)
+                   and _quantized_fused(draft_params))
     if use_draft_model:
-        draft_cache = init_cache(draft_params, draft_arch,
-                                 draft_encoder_out, cache_len=t_total + s)
+        draft_cache = init_cache(
+            draft_params, draft_arch, draft_encoder_out,
+            cross_dtype=cross_cache_dtype if draft_quant else None,
+            cache_len=t_total + s,
+            self_dtype=jnp.int8 if draft_quant else None)
     else:
         # structural placeholder so the while-loop carry keeps one shape
         draft_cache = cache._replace(
@@ -229,13 +249,18 @@ def assisted_decode(params: Any, arch: WhisperArch,
 
     # batch-1 whole-step Pallas kernel for the VERIFY block (the whole
     # device cost of draft-free speculation): same gate as greedy's
-    # per-token use — the two levers compound at B=1
+    # per-token use — the two levers compound at B=1. With a draft
+    # MODEL, the draft chain additionally runs on the kernel when its
+    # params/cache fit the gated layout (draft_quant above).
     from ..ops import pallas_decode_b1 as _b1k
     use_b1_kernel = (getattr(opts, "b1_decode_kernel", False) and b == 1
                      and key_mask is None and pos_offset is None
-                     and not use_draft_model
                      and _b1k.supported(params, arch, cache, key_mask, 1,
                                         jnp.int32(0), prompt[:, 0]))
+    use_b1_draft_kernel = (use_b1_kernel and draft_quant
+                           and _b1k.supported(draft_params, draft_arch,
+                                              draft_cache, None, 1,
+                                              jnp.int32(0), prompt[:, 0]))
 
     rows = jnp.arange(b)
 
@@ -251,30 +276,52 @@ def assisted_decode(params: Any, arch: WhisperArch,
 
     def body(c):
         (tokens, lengths, state, finished, sum_lp, no_speech, align_buf,
-         self_k, self_v, self_ks, self_vs, d_self_k, d_self_v) = c
+         self_k, self_v, self_ks, self_vs, d_self_k, d_self_v,
+         d_self_ks, d_self_vs) = c
         mcache = cache._replace(self_k=self_k, self_v=self_v,
                                 self_k_scale=self_ks, self_v_scale=self_vs)
-        dcache = draft_cache._replace(self_k=d_self_k, self_v=d_self_v)
+        if draft_quant:
+            dcache = draft_cache._replace(
+                self_k=d_self_k, self_v=d_self_v,
+                self_k_scale=d_self_ks, self_v_scale=d_self_vs)
+        else:
+            dcache = draft_cache._replace(self_k=d_self_k, self_v=d_self_v)
 
         feed0 = jnp.take_along_axis(tokens, lengths[:, None] - 1,
                                     axis=1)[:, 0]
         if use_draft_model:
             # ---- draft chain: propose d_1..d_s greedily w/ the grammar
+            # (on the fused B=1 kernel when the draft fits its gate)
             def draft_body(carry, i):
-                dc_k, dc_v, dstate, tok = carry
-                dc = draft_cache._replace(self_k=dc_k, self_v=dc_v)
-                lgt, dc, _ = decode_step(draft_params, draft_arch, tok,
-                                         _pos(lengths - 1 + i), dc,
-                                         key_mask=key_mask,
-                                         pos_offset=pos_offset)
+                dc_k, dc_v, dc_ks, dc_vs, dstate, tok = carry
+                if draft_quant:
+                    dc = draft_cache._replace(
+                        self_k=dc_k, self_v=dc_v,
+                        self_k_scale=dc_ks, self_v_scale=dc_vs)
+                else:
+                    dc = draft_cache._replace(self_k=dc_k, self_v=dc_v)
+                if use_b1_draft_kernel:
+                    lgt, dc, _ = _b1k.decode_step_b1(
+                        draft_params, draft_arch, tok,
+                        _pos(lengths - 1 + i), dc)
+                else:
+                    lgt, dc, _ = decode_step(draft_params, draft_arch, tok,
+                                             _pos(lengths - 1 + i), dc,
+                                             key_mask=key_mask,
+                                             pos_offset=pos_offset)
                 nxt = jnp.argmax(proc(lgt, dstate),
                                  axis=-1).astype(jnp.int32)
-                return (dc.self_k, dc.self_v, dstate.update(nxt, ts_begin),
-                        nxt), nxt
+                new_ks = dc.self_k_scale if draft_quant else dc_ks
+                new_vs = dc.self_v_scale if draft_quant else dc_vs
+                return (dc.self_k, dc.self_v, new_ks, new_vs,
+                        dstate.update(nxt, ts_begin), nxt), nxt
 
-            (d_self_k, d_self_v, _, _), drafts = jax.lax.scan(
-                draft_body, (dcache.self_k, dcache.self_v, state, feed0),
-                jnp.arange(s))
+            (d_self_k, d_self_v, d_self_ks, d_self_vs, _, _), drafts = (
+                jax.lax.scan(
+                    draft_body,
+                    (dcache.self_k, dcache.self_v, d_self_ks, d_self_vs,
+                     state, feed0),
+                    jnp.arange(s)))
             drafts = jnp.swapaxes(drafts, 0, 1)        # [B, S]
         elif draft_script is not None:
             # ---- scripted candidates (forced-acceptance harness):
@@ -357,12 +404,18 @@ def assisted_decode(params: Any, arch: WhisperArch,
         return (tokens, lengths + n_new, state, finished, sum_lp, no_speech,
                 align_buf, mcache.self_k, mcache.self_v,
                 mcache.self_k_scale, mcache.self_v_scale,
-                d_self_k, d_self_v)
+                d_self_k, d_self_v, d_self_ks, d_self_vs)
 
+    if draft_quant:
+        d_scales0 = (draft_cache.self_k_scale, draft_cache.self_v_scale)
+    else:       # structural placeholders (bf16 draft ring has no scales)
+        d_scales0 = (jnp.zeros((1,), jnp.bfloat16),
+                     jnp.zeros((1,), jnp.bfloat16))
     init = (tokens0, jnp.full((b,), p, jnp.int32), TimestampState.init(b),
             jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32), no_speech0,
             align_buf0, cache.self_k, cache.self_v, cache.self_k_scale,
-            cache.self_v_scale, draft_cache.self_k, draft_cache.self_v)
+            cache.self_v_scale, draft_cache.self_k, draft_cache.self_v,
+            *d_scales0)
     (tokens, lengths, state, finished, sum_lp, no_speech, align_buf,
      *_rest) = jax.lax.while_loop(cond, body, init)
 

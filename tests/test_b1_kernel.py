@@ -177,6 +177,50 @@ def test_b1_kernel_multi_parity():
                                   np.asarray(c1.self_k_scale))
 
 
+def test_b1_kernel_self_draft_chain():
+    """Self-draft (layer-truncated) assisted decoding with the B=1
+    kernel: the DRAFT CHAIN itself runs on the kernel (draft_quant gate
+    — quantized fused draft params sliced from the main checkpoint, int8
+    draft ring). Output must still equal greedy with the kernel: draft
+    numerics only move the acceptance rate, the verify pass pins the
+    tokens."""
+    from crisperwhisper_tpu.config import GenerationOptions
+    from crisperwhisper_tpu.decoding.assisted import (assisted_decode_jit,
+                                                      make_self_draft)
+    from crisperwhisper_tpu.decoding.greedy import greedy_decode_jit
+    from helpers import TINY_SPECIALS
+
+    arch, params, _, sel = _setup()
+    draft_params, draft_arch = make_self_draft(params, arch, 1)
+    mel = rand_mel(batch=1, seed=5)
+    enc = encode(params, arch, jnp.asarray(mel))
+    prompt = jnp.full((1, 1), TINY_SPECIALS.sot, jnp.int32)
+    opts = GenerationOptions(max_initial_timestamp_index=50,
+                             b1_decode_kernel=True)
+    kw = dict(align_sel=sel, cross_cache_dtype=jnp.int8,
+              self_cache_dtype=jnp.int8)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc,
+                            prompt, 16, **kw)
+    got = assisted_decode_jit(params, arch, draft_params, draft_arch,
+                              TINY_SPECIALS, opts, enc, enc, prompt, 16,
+                              spec_len=3, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.sequences),
+                                  np.asarray(got.sequences))
+    np.testing.assert_array_equal(np.asarray(ref.num_generated),
+                                  np.asarray(got.num_generated))
+    np.testing.assert_allclose(np.asarray(got.align_probs),
+                               np.asarray(ref.align_probs), atol=2e-3)
+    # and the bf16-draft fallback (kernel off) still matches plain greedy
+    opts_off = GenerationOptions(max_initial_timestamp_index=50)
+    ref_off = greedy_decode_jit(params, arch, TINY_SPECIALS, opts_off, enc,
+                                prompt, 16, **kw)
+    got_off = assisted_decode_jit(params, arch, draft_params, draft_arch,
+                                  TINY_SPECIALS, opts_off, enc, enc, prompt,
+                                  16, spec_len=3, **kw)
+    np.testing.assert_array_equal(np.asarray(ref_off.sequences),
+                                  np.asarray(got_off.sequences))
+
+
 def test_b1_kernel_assisted_prompt_lookup():
     """Prompt-lookup assisted decoding with the B=1 kernel verify must
     equal greedy decoding with the B=1 kernel (the exactness contract
