@@ -44,8 +44,11 @@ say "3. live streams (16 x 120 s)"
 timeout 2400 python scripts/live_streams_bench.py 16 120 >> "$LOG" 2>&1 \
   || say "live rc=$?"
 
-say "4. acceptance sweep with kernel (B=1)"
-timeout 2400 env B1K=1 python scripts/spec_accept_bench.py 1 \
+say "4. acceptance sweep with kernel (B=1) + self-draft mechanism cost"
+# SELF_DRAFT=8 appends the K-layer draft-chain mechanism-cost row; with
+# B1K=1 the draft chain itself runs on the fused kernel (draft_quant
+# gate) — the newest compound path, measured here for the first time.
+timeout 2400 env B1K=1 SELF_DRAFT=8 python scripts/spec_accept_bench.py 1 \
   >> "$LOG" 2>&1 || say "sweep rc=$?"
 
 say "capture done — log at $LOG"
