@@ -156,3 +156,61 @@ def test_pipeline_prompt_lookup_matches_plain(pipe, ckpt_dir, wav_path):
     assert got["text"] == ref["text"]
     assert [c["timestamp"] for c in got["chunks"]] == \
         [c["timestamp"] for c in ref["chunks"]]
+
+
+def test_pipeline_self_draft_b1_kernel_serving(ckpt_dir, wav_path,
+                                               monkeypatch):
+    """The full compound single-stream serving config through the real
+    surface — load_pipeline(quantize=True, assistant="self:1") with
+    GenerationOptions(b1_decode_kernel=True, self_kv_cache_int8=True) at
+    batch_size=1: the DRAFT chain and the verify block must both run on
+    the batch-1 Pallas kernel (draft_quant gate), and the transcript
+    must equal the same pipeline decoding plain greedy on the kernel
+    (exactness contract end-to-end)."""
+    from dataclasses import replace
+    import jax.numpy as jnp
+    from crisperwhisper_tpu.config import PipelineOptions
+    from crisperwhisper_tpu.hub import load_pipeline
+    from crisperwhisper_tpu.ops import pallas_decode_b1 as _b1k
+
+    pipe_opts = PipelineOptions(chunk_length_s=CHUNK_S, batch_size=1,
+                                return_timestamps="word")
+
+    # record which archs hit the kernel (draft has 1 decoder layer,
+    # main has 2) — called at trace time, so counters survive jit
+    seen_layers: list[int] = []
+    real_single, real_multi = _b1k.decode_step_b1, _b1k.decode_step_b1_multi
+    multi_hits: list[int] = []
+
+    def spy_single(params, arch, *a, **kw):
+        seen_layers.append(arch.decoder_layers)
+        return real_single(params, arch, *a, **kw)
+
+    def spy_multi(params, arch, *a, **kw):
+        multi_hits.append(arch.decoder_layers)
+        return real_multi(params, arch, *a, **kw)
+
+    monkeypatch.setattr(_b1k, "decode_step_b1", spy_single)
+    monkeypatch.setattr(_b1k, "decode_step_b1_multi", spy_multi)
+
+    spec_pipe = load_pipeline(ckpt_dir, dtype=jnp.float32, quantize=True,
+                              assistant="self:1", pipe_opts=pipe_opts)
+    spec_pipe.gen_opts = replace(spec_pipe.gen_opts,
+                                 b1_decode_kernel=True,
+                                 self_kv_cache_int8=True,
+                                 assistant_spec_len=3)
+    got = spec_pipe(wav_path, return_timestamps="word")
+
+    assert 1 in seen_layers, "draft chain did not route to the B=1 kernel"
+    assert 2 in multi_hits, "verify block did not route to the B=1 kernel"
+
+    ref_pipe = load_pipeline(ckpt_dir, dtype=jnp.float32, quantize=True,
+                             pipe_opts=pipe_opts)
+    ref_pipe.gen_opts = replace(ref_pipe.gen_opts,
+                                b1_decode_kernel=True,
+                                self_kv_cache_int8=True)
+    ref = ref_pipe(wav_path, return_timestamps="word")
+
+    assert got["text"] == ref["text"]
+    assert [c["timestamp"] for c in got["chunks"]] == \
+        [c["timestamp"] for c in ref["chunks"]]
