@@ -177,13 +177,15 @@ def test_b1_kernel_multi_parity():
                                   np.asarray(c1.self_k_scale))
 
 
-def test_b1_kernel_self_draft_chain():
+@pytest.mark.parametrize("cross_dtype", [jnp.int8, jnp.int4])
+def test_b1_kernel_self_draft_chain(cross_dtype):
     """Self-draft (layer-truncated) assisted decoding with the B=1
     kernel: the DRAFT CHAIN itself runs on the kernel (draft_quant gate
     — quantized fused draft params sliced from the main checkpoint, int8
     draft ring). Output must still equal greedy with the kernel: draft
     numerics only move the acceptance rate, the verify pass pins the
-    tokens."""
+    tokens. int4 cross is the serving/bench configuration
+    (scripts/spec_accept_bench.py B1K=1 SELF_DRAFT=K)."""
     from crisperwhisper_tpu.config import GenerationOptions
     from crisperwhisper_tpu.decoding.assisted import (assisted_decode_jit,
                                                       make_self_draft)
@@ -197,7 +199,7 @@ def test_b1_kernel_self_draft_chain():
     prompt = jnp.full((1, 1), TINY_SPECIALS.sot, jnp.int32)
     opts = GenerationOptions(max_initial_timestamp_index=50,
                              b1_decode_kernel=True)
-    kw = dict(align_sel=sel, cross_cache_dtype=jnp.int8,
+    kw = dict(align_sel=sel, cross_cache_dtype=cross_dtype,
               self_cache_dtype=jnp.int8)
     ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts, enc,
                             prompt, 16, **kw)
