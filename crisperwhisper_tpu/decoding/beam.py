@@ -48,6 +48,8 @@ class _Carry(NamedTuple):
     tokens: jax.Array             # [B, NB, T_total]
     self_k: jax.Array             # mutable cache halves only (cross K/V is
     self_v: jax.Array             # a loop-invariant closure constant)
+    self_ks: Any                  # per-position ring scales (int8/int4
+    self_vs: Any                  # self ring) or None (bf16 ring)
     state: TimestampState         # leaves [B*NB]
     beam_scores: jax.Array        # [B, NB] running sum-logprob
     fin_tokens: jax.Array         # [B, NB, T_total]
@@ -71,6 +73,7 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 align_dtype: jnp.dtype = jnp.float32,
                 prompt_mask: jax.Array | None = None,
                 cross_cache_dtype: jnp.dtype | None = None,
+                self_cache_dtype: jnp.dtype | None = None,
                 sot_position: int = 0,
                 pos_offset: jax.Array | None = None) -> BeamResult:
     # pos_offset: optional int32 [B] per-row left-pad count of the
@@ -92,7 +95,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     # ring is per-beam. decode_step(beam_groups=nb) routes beams through
     # the cross attention as extra query rows.
     cache = init_cache(params, arch, encoder_out, cache_len=t_total,
-                       cross_dtype=cross_cache_dtype, self_batch=flat)
+                       cross_dtype=cross_cache_dtype, self_batch=flat,
+                       self_dtype=self_cache_dtype)
     key_mask = None
     if prompt_mask is not None:
         key_mask = jnp.repeat(jnp.concatenate(
@@ -112,16 +116,23 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     # per beam — NB x cheaper than feeding the prompt beam-wise, and P-1
     # fewer serial steps (see greedy.py prefill note).
     self_k0, self_v0 = cache.self_k, cache.self_v
+    self_ks0, self_vs0 = cache.self_k_scale, cache.self_v_scale
     no_speech0 = jnp.zeros((b,), jnp.float32)
     t_start = 0
     if p > 1:
+        ring_shape = (arch.decoder_layers, b,
+                      arch.decoder_attention_heads, arch.head_dim, t_total)
+        scale_shape = (arch.decoder_layers, b,
+                       arch.decoder_attention_heads, t_total)
         pre_cache = cache._replace(
-            self_k=jnp.zeros((arch.decoder_layers, b,
-                              arch.decoder_attention_heads, arch.head_dim,
-                              t_total), cache.self_k.dtype),
-            self_v=jnp.zeros((arch.decoder_layers, b,
-                              arch.decoder_attention_heads, arch.head_dim,
-                              t_total), cache.self_v.dtype))
+            self_k=jnp.zeros(ring_shape, cache.self_k.dtype),
+            self_v=jnp.zeros(ring_shape, cache.self_v.dtype),
+            self_k_scale=(None if cache.self_k_scale is None
+                          else jnp.zeros(scale_shape,
+                                         cache.self_k_scale.dtype)),
+            self_v_scale=(None if cache.self_v_scale is None
+                          else jnp.zeros(scale_shape,
+                                         cache.self_v_scale.dtype)))
         pre_key_mask = None
         if prompt_mask is not None:
             pre_key_mask = jnp.concatenate(
@@ -133,6 +144,9 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
             pos_offset=pos_offset)
         self_k0 = jnp.repeat(pre_cache.self_k, nb, axis=1)
         self_v0 = jnp.repeat(pre_cache.self_v, nb, axis=1)
+        if pre_cache.self_k_scale is not None:
+            self_ks0 = jnp.repeat(pre_cache.self_k_scale, nb, axis=1)
+            self_vs0 = jnp.repeat(pre_cache.self_v_scale, nb, axis=1)
         sp_idx = jnp.clip(jnp.asarray(sot_position, jnp.int32), 0, p - 2)
         lg = jax.lax.dynamic_index_in_dim(pre_logits, sp_idx, 1,
                                           keepdims=False)
@@ -146,6 +160,7 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     carry = _Carry(
         t=jnp.int32(t_start), tokens=tokens0,
         self_k=self_k0, self_v=self_v0,
+        self_ks=self_ks0, self_vs=self_vs0,
         state=TimestampState.init(flat),
         beam_scores=beam_scores0,
         fin_tokens=jnp.full((b, nb, t_total), eot, jnp.int32),
@@ -166,15 +181,33 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     def length_pen(length):
         return jnp.power(length.astype(jnp.float32), length_penalty)
 
+    # beam-rows whole-step Pallas kernel (ops/pallas_decode_b1): the hf
+    # ASR pipeline's DEFAULT decode is num_beams=5 at batch 1
+    # (pipelines/base.py:1493 run_single) — the same weight-stream
+    # bubbles the batch-1 greedy kernel removes dominate here too, since
+    # beams only add query rows while the weight stream is batch
+    # -invariant. Decided at trace time; same numerics-gated opt-in.
+    from ..ops import pallas_decode_b1 as _b1k
+    use_bR_kernel = (getattr(opts, "b1_decode_kernel", False) and b == 1
+                     and key_mask is None and pos_offset is None
+                     and _b1k.supported_beams(
+                         params, arch, cache, key_mask, jnp.int32(0),
+                         jnp.zeros((flat,), jnp.int32)))
+
     def body(c: _Carry) -> _Carry:
         feed = c.tokens.reshape(flat, t_total)[:, c.t]
-        step_cache = cache._replace(self_k=c.self_k, self_v=c.self_v)
-        logits, new_cache, align = decode_step(params, arch, feed, c.t,
-                                               step_cache,
-                                               align_sel=align_sel,
-                                               key_mask=key_mask,
-                                               beam_groups=nb,
-                                               pos_offset=pos_offset_flat)
+        step_cache = cache._replace(self_k=c.self_k, self_v=c.self_v,
+                                    self_k_scale=c.self_ks,
+                                    self_v_scale=c.self_vs)
+        if use_bR_kernel:
+            logits, new_cache, align = _b1k.decode_step_b1_beams(
+                params, arch, feed, c.t, step_cache, align_sel=align_sel,
+                align_dtype=align_dtype)
+        else:
+            logits, new_cache, align = decode_step(
+                params, arch, feed, c.t, step_cache, align_sel=align_sel,
+                key_mask=key_mask, beam_groups=nb,
+                pos_offset=pos_offset_flat)
         # record alignment rows of the query tokens (t >= p)
         slot = jnp.maximum(c.t - p, 0)
         record = c.t >= p
@@ -326,13 +359,18 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
          fin_align, state, albuf, new_src, done) = jax.lax.cond(
             is_sampling, beam_phase, prompt_phase)
 
-        # reorder self-attention cache by src beam (flat indices)
+        # reorder self-attention cache (and ring scales) by src beam
         flat_src = (new_src + jnp.arange(b)[:, None] * nb).reshape(flat)
         self_k = new_cache.self_k[:, flat_src]
         self_v = new_cache.self_v[:, flat_src]
+        self_ks = (None if new_cache.self_k_scale is None
+                   else new_cache.self_k_scale[:, flat_src])
+        self_vs = (None if new_cache.self_v_scale is None
+                   else new_cache.self_v_scale[:, flat_src])
 
         return _Carry(t=c.t + 1, tokens=tokens, self_k=self_k,
-                      self_v=self_v, state=state,
+                      self_v=self_v, self_ks=self_ks, self_vs=self_vs,
+                      state=state,
                       beam_scores=beam_scores, fin_tokens=fin_tokens,
                       fin_scores=fin_scores, fin_lens=fin_lens,
                       fin_count=fin_count, fin_align=fin_align,
@@ -378,7 +416,8 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     jax.jit,
     static_argnames=("arch", "specials", "opts", "max_new_tokens",
                      "num_beams", "length_penalty", "return_timestamps",
-                     "align_dtype", "cross_cache_dtype"))
+                     "align_dtype", "cross_cache_dtype",
+                     "self_cache_dtype"))
 def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                     max_new_tokens: int, num_beams: int,
                     length_penalty: float = 1.0, suppress_mask=None,
@@ -387,6 +426,7 @@ def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                     align_dtype: jnp.dtype = jnp.float32,
                     prompt_mask=None,
                     cross_cache_dtype: jnp.dtype | None = None,
+                    self_cache_dtype: jnp.dtype | None = None,
                     sot_position: int = 0, pos_offset=None) -> BeamResult:
     return beam_decode(params, arch, specials, opts, encoder_out, prompt,
                        max_new_tokens=max_new_tokens, num_beams=num_beams,
@@ -397,4 +437,5 @@ def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                        return_timestamps=return_timestamps,
                        align_dtype=align_dtype, prompt_mask=prompt_mask,
                        cross_cache_dtype=cross_cache_dtype,
+                       self_cache_dtype=self_cache_dtype,
                        sot_position=sot_position, pos_offset=pos_offset)

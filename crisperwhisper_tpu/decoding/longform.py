@@ -121,6 +121,7 @@ def _decode_window(params, arch, specials, opts, segment_features,
             prompt_mask=(jnp.asarray(prompt_mask)
                          if prompt_mask is not None else None),
             cross_cache_dtype=_kv_dtype(opts),
+            self_cache_dtype=_self_kv_dtype(opts),
             sot_position=sot_position, pos_offset=pos_off_j)
         score = np.asarray(res.sequences_scores)
         is_normalized = True

@@ -97,8 +97,13 @@ class B1Schedule(NamedTuple):
     total: int
 
 
-def make_schedule(d: int, f: int,
-                  tile_bytes: int = 768 * 1024) -> B1Schedule:
+def make_schedule(d: int, f: int, tile_bytes: int = 768 * 1024,
+                  self_phases: int = 1) -> B1Schedule:
+    """self_phases=1: one score + one out phase over a SHARED ring (the
+    single-token / M-token-block variants). self_phases=R: one score and
+    one out phase PER ROW, each fetching only that row's ring — the
+    beam-rows variant, which keeps per-row ring blocks (not R rings at
+    once) inside VMEM."""
     n_qkv = _pick_tiles(d, 3 * d, 1, tile_bytes)
     n_o = _pick_tiles(d, d, 1, tile_bytes)
     n_cq = n_o
@@ -107,8 +112,8 @@ def make_schedule(d: int, f: int,
     n_m2 = _pick_tiles(f, d, 1, tile_bytes)
     s_qkv = 0
     s_selfk = s_qkv + n_qkv
-    s_selfv = s_selfk + 1
-    s_o = s_selfv + 1
+    s_selfv = s_selfk + self_phases
+    s_o = s_selfv + self_phases
     s_cq = s_o + n_o
     s_crossk = s_cq + n_cq
     s_crossv = s_crossk + 1
@@ -138,10 +143,16 @@ def _kernel(pos_ref,                                     # scalar prefetch
             xr, y, acc, qh, pr,
             *, sched: B1Schedule, m: int, d: int, f: int, h: int, dh: int,
             t_ring: int, k_enc: int, n_align: int, self_qmax: float,
-            cross_is_int4: bool, align_bf16: bool, chunk: int = 512):
+            cross_is_int4: bool, align_bf16: bool, chunk: int = 512,
+            beams: bool = False):
     """One (layer, phase) grid step over an M-token block (M=1: plain
     decode; M=spec window: the assisted-decoding verify pass — block
     rows are causal among themselves, matching decode_step_multi).
+    beams=True: the M rows are BEAM HYPOTHESES at one shared position
+    instead of consecutive tokens — each row attends only to ITS OWN
+    ring (blocked per row by the R-phase self schedule) plus its own
+    fresh column, with no inter-row coupling; this matches
+    decode_step(beam_groups=m) at batch 1.
     Scratch:
     xr [M, d] f32 residual stream; y [M, max(3d,f)] f32 GEMV input;
     acc [M, max(3d,f)] f32 tile accumulator; qh [M*h, dh] f32 current
@@ -246,12 +257,15 @@ def _kernel(pos_ref,                                     # scalar prefetch
     # this is a python loop with static slices — no dynamic control flow.
     _CHUNK = chunk
 
-    def _qk_scores(q, k_ref, width):
-        """s[h, t] = sum_d q[h, d] * k_ref[0][h, d, t], t-chunked."""
+    def _qk_scores(q, k_ref, width, lead=(0,)):
+        """s[h, t] = sum_d q[h, d] * k_ref[lead][h, d, t], t-chunked.
+        `lead` selects the ref's leading block dims ((0,) for the shared
+        layer-blocked refs, (0, 0) for the beam per-row ring blocks)."""
         parts = []
         for off in range(0, width, _CHUNK):
             w = min(_CHUNK, width - off)
-            kq = k_ref[0, :, :, off:off + w]
+            kq = k_ref[(*lead, slice(None), slice(None),
+                        slice(off, off + w))]
             if kq.dtype == jnp.int4:
                 kq = kq.astype(jnp.int8)
             parts.append(jnp.sum(q[:, :, None] * kq.astype(jnp.float32),
@@ -259,62 +273,113 @@ def _kernel(pos_ref,                                     # scalar prefetch
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 \
             else parts[0]
 
-    def _pv_out(p, v_ref, width):
-        """o[h, d] = sum_t p[h, t] * v_ref[0][h, d, t], t-chunked."""
+    def _pv_out(p, v_ref, width, lead=(0,)):
+        """o[h, d] = sum_t p[h, t] * v_ref[lead][h, d, t], t-chunked."""
         out = jnp.zeros((h, dh), jnp.float32)
         for off in range(0, width, _CHUNK):
             w = min(_CHUNK, width - off)
-            vq = v_ref[0, :, :, off:off + w]
+            vq = v_ref[(*lead, slice(None), slice(None),
+                        slice(off, off + w))]
             if vq.dtype == jnp.int4:
                 vq = vq.astype(jnp.int8)
             out += jnp.sum(p[:, None, off:off + w]
                            * vq.astype(jnp.float32), axis=2)
         return out
 
-    @pl.when(s == c.s_selfk)
-    def _self_scores():
-        # scores vs ring K (int8, seq-last [h, dh, t]) + the M fresh
-        # columns at slots pos..pos+M-1 (causal among themselves). The
-        # ring content at those slots is stale; fresh scores replace it.
-        pos = pos_ref[0]
-        for mi in range(m):
-            q_m = qh[mi * h:(mi + 1) * h, :]            # [h, dh]
-            sc = _qk_scores(q_m, ring_k_ref, t_ring)    # [h, t]
-            sc = sc * ring_ks_ref[0].astype(jnp.float32)
+    if not beams:
+        @pl.when(s == c.s_selfk)
+        def _self_scores():
+            # scores vs ring K (int8, seq-last [h, dh, t]) + the M fresh
+            # columns at slots pos..pos+M-1 (causal among themselves). The
+            # ring content at those slots is stale; fresh scores replace
+            # it.
+            pos = pos_ref[0]
+            for mi in range(m):
+                q_m = qh[mi * h:(mi + 1) * h, :]            # [h, dh]
+                sc = _qk_scores(q_m, ring_k_ref, t_ring)    # [h, t]
+                sc = sc * ring_ks_ref[0].astype(jnp.float32)
+                t_ids = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+                for j in range(m):
+                    fresh = jnp.sum(
+                        q_m * kcol_ref[0, j].astype(jnp.float32),
+                        axis=1) * ksc_ref[0, j]             # [h]
+                    sc = jnp.where(t_ids == pos + j, fresh[:, None], sc)
+                sc = jnp.where(t_ids <= pos + mi, sc, _NEG_INF)
+                mx = jnp.max(sc, axis=1, keepdims=True)
+                e = jnp.exp(sc - mx)
+                pr[mi * h:(mi + 1) * h, :t_ring] = (
+                    e / jnp.sum(e, axis=1, keepdims=True))
+
+        @pl.when(s == c.s_selfv)
+        def _self_out():
+            pos = pos_ref[0]
+            for mi in range(m):
+                p = pr[mi * h:(mi + 1) * h, :t_ring]
+                t_ids = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+                # per-slot V scales: ring scales, with the fresh scales
+                # replacing the (stale) ring entries at pos..pos+M-1
+                sv = jnp.broadcast_to(ring_vs_ref[0].astype(jnp.float32),
+                                      p.shape)
+                for j in range(m):
+                    sv = jnp.where(t_ids == pos + j,
+                                   vsc_ref[0, j][:, None], sv)
+                pv = p * sv
+                pv_ring = jnp.where((t_ids >= pos) & (t_ids < pos + m),
+                                    0.0, pv)
+                out = _pv_out(pv_ring, ring_v_ref, t_ring)  # [h, dh]
+                for j in range(m):
+                    pj = jnp.sum(jnp.where(t_ids == pos + j, pv, 0.0),
+                                 axis=1)                    # [h]
+                    out += pj[:, None] * vcol_ref[0, j].astype(jnp.float32)
+                y[mi:mi + 1, :d] = out.reshape(1, d)        # o-proj input
+    else:
+        # ---- beam-rows self attention: R score phases + R out phases,
+        # phase r fetching ONLY row r's ring block (BlockSpec row map).
+        # Each row attends to its own ring at slots <= pos, with its own
+        # fresh column replacing the stale ring entry at slot pos.
+        in_selfk = (s >= c.s_selfk) & (s < c.s_selfv)
+        in_selfv = (s >= c.s_selfv) & (s < c.s_o)
+
+        @pl.when(in_selfk)
+        def _self_scores_beam():
+            pos = pos_ref[0]
+            r = s - c.s_selfk
+            q_r = qh[pl.ds(r * h, h), :]                    # [h, dh]
+            sc = _qk_scores(q_r, ring_k_ref, t_ring, lead=(0, 0))
+            sc = sc * ring_ks_ref[0, 0].astype(jnp.float32)
             t_ids = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
-            for j in range(m):
-                fresh = jnp.sum(
-                    q_m * kcol_ref[0, j].astype(jnp.float32),
-                    axis=1) * ksc_ref[0, j]             # [h]
-                sc = jnp.where(t_ids == pos + j, fresh[:, None], sc)
-            sc = jnp.where(t_ids <= pos + mi, sc, _NEG_INF)
+            kfresh = kcol_ref[0, pl.ds(r, 1)][0].astype(jnp.float32)
+            fresh = (jnp.sum(q_r * kfresh, axis=1)
+                     * ksc_ref[0, pl.ds(r, 1)][0])          # [h]
+            sc = jnp.where(t_ids == pos, fresh[:, None], sc)
+            sc = jnp.where(t_ids <= pos, sc, _NEG_INF)
             mx = jnp.max(sc, axis=1, keepdims=True)
             e = jnp.exp(sc - mx)
-            pr[mi * h:(mi + 1) * h, :t_ring] = (
+            pr[pl.ds(r * h, h), :t_ring] = (
                 e / jnp.sum(e, axis=1, keepdims=True))
 
-    @pl.when(s == c.s_selfv)
-    def _self_out():
-        pos = pos_ref[0]
-        for mi in range(m):
-            p = pr[mi * h:(mi + 1) * h, :t_ring]
+        @pl.when(in_selfv)
+        def _self_out_beam():
+            pos = pos_ref[0]
+            r = s - c.s_selfv
+            p = pr[pl.ds(r * h, h), :t_ring]
             t_ids = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
-            # per-slot V scales: ring scales, with the fresh scales
-            # replacing the (stale) ring entries at pos..pos+M-1
-            sv = jnp.broadcast_to(ring_vs_ref[0].astype(jnp.float32),
+            sv = jnp.broadcast_to(ring_vs_ref[0, 0].astype(jnp.float32),
                                   p.shape)
-            for j in range(m):
-                sv = jnp.where(t_ids == pos + j,
-                               vsc_ref[0, j][:, None], sv)
+            sv = jnp.where(t_ids == pos,
+                           vsc_ref[0, pl.ds(r, 1)][0][:, None], sv)
             pv = p * sv
-            pv_ring = jnp.where((t_ids >= pos) & (t_ids < pos + m),
-                                0.0, pv)
-            out = _pv_out(pv_ring, ring_v_ref, t_ring)  # [h, dh]
-            for j in range(m):
-                pj = jnp.sum(jnp.where(t_ids == pos + j, pv, 0.0),
-                             axis=1)                    # [h]
-                out += pj[:, None] * vcol_ref[0, j].astype(jnp.float32)
-            y[mi:mi + 1, :d] = out.reshape(1, d)        # o-proj input
+            pv_ring = jnp.where(t_ids == pos, 0.0, pv)
+            out = _pv_out(pv_ring, ring_v_ref, t_ring, lead=(0, 0))
+            pj = jnp.sum(jnp.where(t_ids == pos, pv, 0.0), axis=1)  # [h]
+            out += (pj[:, None]
+                    * vcol_ref[0, pl.ds(r, 1)][0].astype(jnp.float32))
+            y[pl.ds(r, 1), :d] = out.reshape(1, d)          # o-proj input
+
+    @pl.when(s == c.s_o - 1)
+    def _prep_o_acc():
+        # last self-out phase (the only one when not beams): clear the
+        # accumulator for the o-projection tiles that start next step
         acc[...] = jnp.zeros_like(acc)
 
     @pl.when(s == c.s_o + c.n_o - 1)
@@ -416,8 +481,9 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
      ring_k, ring_v, ring_ks, ring_vs,
      cross_k, cross_v, cross_ks, cross_vs, sel) = operands
     (L, m, d, f, h, dh, t_ring, k_enc, n_align, self_qmax, cross_is_int4,
-     align_bf16, tile_bytes, chunk) = arch_key
-    sched = make_schedule(d, f, tile_bytes)
+     align_bf16, tile_bytes, chunk, beams) = arch_key
+    sched = make_schedule(d, f, tile_bytes,
+                          self_phases=m if beams else 1)
     c = sched
 
     def wspec(w, start, n):
@@ -437,7 +503,26 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
         wspec(co_w, c.s_co, c.n_co), lspec(co_s), lspec(co_b),
         wspec(m1_w, c.s_m1, c.n_m1), lspec(m1_s), lspec(m1_b),
         wspec(m2_w, c.s_m2, c.n_m2), lspec(m2_s), lspec(m2_b),
-        lspec(ring_k), lspec(ring_v), lspec(ring_ks), lspec(ring_vs),
+    ]
+    if beams:
+        # per-row ring blocks: phase r of each self band fetches ONLY
+        # beam row r's ring (keeps one ring row, not R, in VMEM)
+        def _rowmap(start, nd):
+            def imap(l, s, pos):  # noqa: E741
+                del pos
+                r = jnp.clip(s - start, 0, m - 1)
+                return (l, r) + (0,) * (nd - 2)
+            return imap
+        in_specs += [
+            pl.BlockSpec((1, 1, h, dh, t_ring), _rowmap(c.s_selfk, 5)),
+            pl.BlockSpec((1, 1, h, dh, t_ring), _rowmap(c.s_selfv, 5)),
+            pl.BlockSpec((1, 1, h, t_ring), _rowmap(c.s_selfk, 4)),
+            pl.BlockSpec((1, 1, h, t_ring), _rowmap(c.s_selfv, 4)),
+        ]
+    else:
+        in_specs += [lspec(ring_k), lspec(ring_v),
+                     lspec(ring_ks), lspec(ring_vs)]
+    in_specs += [
         lspec(cross_k), lspec(cross_v), lspec(cross_ks), lspec(cross_vs),
         lspec(sel),
     ]
@@ -469,7 +554,8 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
     kern = functools.partial(
         _kernel, sched=sched, m=m, d=d, f=f, h=h, dh=dh, t_ring=t_ring,
         k_enc=k_enc, n_align=n_align, self_qmax=self_qmax,
-        cross_is_int4=cross_is_int4, align_bf16=align_bf16, chunk=chunk)
+        cross_is_int4=cross_is_int4, align_bf16=align_bf16, chunk=chunk,
+        beams=beams)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -505,8 +591,9 @@ def supported(params: Any, arch, cache, key_mask, beam_groups: int,
 
 
 def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
-                align_dtype, interpret, m: int):
-    """Shared operand prep + kernel invocation for an M-token block.
+                align_dtype, interpret, m: int, beams: bool = False):
+    """Shared operand prep + kernel invocation for an M-token block
+    (beams=True: M beam rows at one position, per-row rings).
     Returns (hid [M, d] f32, align [A, M, K] f32,
              kcol/vcol [L, M, h, dh] int8, ksc/vsc [L, M, h] f32)."""
     dec = params["decoder"]
@@ -544,6 +631,16 @@ def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
            else jnp.zeros((L, h, 1), jnp.float32))
 
     cross_is_int4 = cache.cross_k.dtype == jnp.int4
+    if beams:
+        # the M rows are beams: keep the whole [L, R, ...] rings (the
+        # row-phase BlockSpecs fetch one row at a time)
+        ring_ops = (cache.self_k, cache.self_v,
+                    cache.self_k_scale.astype(jnp.float32),
+                    cache.self_v_scale.astype(jnp.float32))
+    else:
+        ring_ops = (cache.self_k[:, 0], cache.self_v[:, 0],
+                    cache.self_k_scale[:, 0].astype(jnp.float32),
+                    cache.self_v_scale[:, 0].astype(jnp.float32))
     operands = (
         x0, lns,
         lay["self"]["qkv"]["w_q"], qkv_s, qkv_b,
@@ -552,9 +649,7 @@ def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
         lay["cross"]["o"]["w_q"], co_s, co_b,
         lay["mlp"]["fc1"]["w_q"], m1_s, m1_b,
         lay["mlp"]["fc2"]["w_q"], m2_s, m2_b,
-        cache.self_k[:, 0], cache.self_v[:, 0],
-        cache.self_k_scale[:, 0].astype(jnp.float32),
-        cache.self_v_scale[:, 0].astype(jnp.float32),
+        *ring_ops,
         cache.cross_k[:, 0], cache.cross_v[:, 0],
         cache.cross_k_scale[:, 0].astype(jnp.float32),
         cache.cross_v_scale[:, 0].astype(jnp.float32),
@@ -569,7 +664,8 @@ def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
     chunk = 512 if m == 1 else 256
     arch_key = (L, m, arch.d_model, arch.decoder_ffn_dim, h, dh, t_ring,
                 k_enc, n_align, 127.0, cross_is_int4,
-                jnp.dtype(align_dtype) == jnp.bfloat16, tile_bytes, chunk)
+                jnp.dtype(align_dtype) == jnp.bfloat16, tile_bytes, chunk,
+                beams)
     return _call_kernel(operands, position, arch_key, interpret=interpret)
 
 
@@ -677,5 +773,72 @@ def decode_step_b1_multi(params: Any, arch, tokens, position, cache,
     align_probs = align[None].astype(jnp.float32)        # [1, A, S, K]
     if align_sel is None:
         align_probs = jnp.zeros((1, 1, s, cache.cross_k.shape[-1]),
+                                jnp.float32)
+    return logits, new_cache, align_probs
+
+
+def supported_beams(params: Any, arch, cache, key_mask, position,
+                    tokens) -> bool:
+    """Beam-rows gate: R beam hypotheses of ONE stream (batch 1) at a
+    shared scalar position — quantized fused weights, int8 per-row self
+    rings (beam_decode(self_cache_dtype=int8)), quantized SHARED cross
+    cache. R is capped at 8 to bound the R-phase self band's VMEM."""
+    dec = params["decoder"]
+    lay = dec["layers"]
+    return (tokens.ndim == 1 and 1 < tokens.shape[0] <= 8
+            and jnp.asarray(position).ndim == 0
+            and key_mask is None
+            and "qkv" in lay["self"] and "w_q" in lay["self"]["qkv"]
+            and "w_q" in lay["mlp"]["fc1"]
+            and cache.self_k_scale is not None
+            and cache.self_k.dtype == jnp.int8
+            and cache.self_k.shape[1] == tokens.shape[0]
+            and cache.cross_k.shape[1] == 1
+            and cache.cross_k_scale is not None
+            and cache.cross_k.dtype in (jnp.int8, jnp.int4))
+
+
+def decode_step_b1_beams(params: Any, arch, tokens, position, cache,
+                         align_sel=None, align_dtype=jnp.float32,
+                         interpret: bool | None = None):
+    """decode_step(beam_groups=R) analog at batch 1 on the fused kernel:
+    R beam rows advance at ONE shared position, each attending to its
+    own self ring, all sharing the cross cache — the hf ASR pipeline's
+    default decode (num_beams=5) run as a single whole-step kernel.
+    tokens: int32 [R]. Returns (logits [R, V] f32, new cache,
+    align_probs [R, A, K] f32) — the shapes beam.py's body consumes.
+    Weight streaming is identical to decode_step_b1: beams only add
+    query rows, the weight tiles stay batch-invariant."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dec = params["decoder"]
+    position = jnp.asarray(position, jnp.int32)
+    r = tokens.shape[0]
+    x0 = (dec["tok_emb"][tokens].astype(jnp.float32)
+          + dec["pos_emb"][position][None].astype(jnp.float32))   # [R, d]
+    hid, align, kcol, vcol, ksc, vsc = _run_kernel(
+        params, arch, x0, position, cache, align_sel, align_dtype,
+        interpret, m=r, beams=True)
+
+    # ---- ring update: R per-row fresh columns at ONE shared slot ----
+    new_k = jax.lax.dynamic_update_slice(
+        cache.self_k, kcol[..., None], (0, 0, 0, 0, position))
+    new_v = jax.lax.dynamic_update_slice(
+        cache.self_v, vcol[..., None], (0, 0, 0, 0, position))
+    new_ks = jax.lax.dynamic_update_slice(
+        cache.self_k_scale,
+        ksc[..., None].astype(cache.self_k_scale.dtype),
+        (0, 0, 0, position))
+    new_vs = jax.lax.dynamic_update_slice(
+        cache.self_v_scale,
+        vsc[..., None].astype(cache.self_v_scale.dtype),
+        (0, 0, 0, position))
+    new_cache = cache._replace(self_k=new_k, self_v=new_v,
+                               self_k_scale=new_ks, self_v_scale=new_vs)
+
+    logits = _lm_head(dec, hid)[0]                        # [R, V]
+    align_probs = jnp.swapaxes(align, 0, 1).astype(jnp.float32)
+    if align_sel is None:
+        align_probs = jnp.zeros((r, 1, cache.cross_k.shape[-1]),
                                 jnp.float32)
     return logits, new_cache, align_probs

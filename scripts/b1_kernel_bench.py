@@ -7,7 +7,9 @@ int4/int8 cross cache.
 
 Usage: python scripts/b1_kernel_bench.py [n_steps]
 Env: ITERS (default 3), RING (default 384), CROSS (int4|int8, default
-int4), VARIANTS ("xla,kernel").
+int4), VARIANTS ("xla,kernel" | "xla_multi,kernel_multi" w/ BLK |
+"xla_beam,kernel_beam" w/ NB — the hf-pipeline-default num_beams=5
+single-stream shape).
 """
 
 import os
@@ -130,6 +132,8 @@ def main():
         return run
 
     for name in VARIANTS:
+        tok0 = jnp.asarray([7], jnp.int32)
+        cache_v = cache0
         if name.endswith("_multi"):
             from crisperwhisper_tpu.models import decode_step_multi
             from crisperwhisper_tpu.ops.pallas_decode_b1 import (
@@ -138,17 +142,28 @@ def main():
             fn = loop_multi(decode_step_multi if name == "xla_multi"
                             else decode_step_b1_multi, blk)
             denom = (N // blk) * blk
+        elif name.endswith("_beam"):
+            import functools
+            from crisperwhisper_tpu.ops.pallas_decode_b1 import (
+                decode_step_b1_beams)
+            nb = int(os.environ.get("NB", "5"))
+            cache_v = init_cache(params, arch, enc, cross_dtype=cross_dtype,
+                                 cache_len=RING, self_dtype=jnp.int8,
+                                 self_batch=nb)
+            fn = loop(functools.partial(decode_step, beam_groups=nb)
+                      if name == "xla_beam" else decode_step_b1_beams)
+            denom = N          # per beam-STEP (all NB rows advance once)
+            tok0 = jnp.arange(7, 7 + nb, dtype=jnp.int32)
         else:
             fn = loop(decode_step if name == "xla" else decode_step_b1)
             denom = N
-        tok0 = jnp.asarray([7], jnp.int32)
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(cache0, tok0))
+        out = jax.block_until_ready(fn(cache_v, tok0))
         compile_s = time.perf_counter() - t0
         best = float("inf")
         for _ in range(ITERS):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(cache0, tok0))
+            out = jax.block_until_ready(fn(cache_v, tok0))
             best = min(best, time.perf_counter() - t0)
         print(f"{name:12s} {best:7.3f} s = {best / denom * 1e3:6.2f} "
               f"ms/token (compile {compile_s:.0f} s, tok {int(out[0][0])}, "

@@ -37,6 +37,10 @@ say "1b. b1 kernel bench: M-token verify blocks (BLK=6)"
 timeout 1800 env VARIANTS=xla_multi,kernel_multi BLK=6 \
   python scripts/b1_kernel_bench.py 126 >> "$LOG" 2>&1 || say "b1 multi rc=$?"
 
+say "1c. b1 kernel bench: beam rows (NB=5, the hf-pipeline default decode)"
+timeout 1800 env VARIANTS=xla_beam,kernel_beam NB=5 \
+  python scripts/b1_kernel_bench.py 128 >> "$LOG" 2>&1 || say "b1 beam rc=$?"
+
 say "2. full bench.py"
 timeout 3600 python bench.py >> "$LOG" 2>&1 || say "bench rc=$?"
 

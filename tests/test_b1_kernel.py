@@ -252,3 +252,97 @@ def test_b1_kernel_assisted_prompt_lookup():
                                   np.asarray(got.num_generated))
     np.testing.assert_allclose(np.asarray(got.align_probs),
                                np.asarray(ref.align_probs), atol=2e-3)
+
+
+def test_b1_kernel_beams_step_parity():
+    """Beam-rows kernel vs decode_step(beam_groups=NB) at batch 1:
+    chained steps with beam-reorder gathers between them (the real
+    beam-loop usage). Per-row argmax agreement, logits/alignment within
+    the numerics band, per-row ring columns within 1 LSB."""
+    from crisperwhisper_tpu.ops.pallas_decode_b1 import (
+        decode_step_b1_beams, supported_beams)
+
+    nb = 3
+    arch = tiny_arch()
+    params = quantize_decoder_weights(
+        fuse_decoder_qkv(init_params(arch, jax.random.PRNGKey(0)),
+                         arch.head_dim))
+    mel = rand_mel(batch=1, seed=11)
+    enc = encode(params, arch, jnp.asarray(mel))
+    cache = init_cache(params, arch, enc, cross_dtype=jnp.int8,
+                       cache_len=32, self_dtype=jnp.int8,
+                       self_batch=nb)
+    sel = jnp.asarray(alignment_selector(arch, ((0, 1), (1, 2))))
+    assert supported_beams(params, arch, cache, None, jnp.int32(0),
+                           jnp.zeros((nb,), jnp.int32))
+
+    rng = np.random.default_rng(0)
+    ca = cb = cache
+    toks = jnp.asarray([5, 9, 13], jnp.int32)
+    for i in range(6):
+        la, ca, aa = decode_step(params, arch, toks, jnp.int32(i), ca,
+                                 align_sel=sel, beam_groups=nb)
+        lb, cb, ab = decode_step_b1_beams(params, arch, toks, jnp.int32(i),
+                                          cb, align_sel=sel,
+                                          interpret=True)
+        la, lb = np.asarray(la), np.asarray(lb)
+        assert (la.argmax(-1) == lb.argmax(-1)).all(), i
+        np.testing.assert_allclose(lb, la, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(ab), np.asarray(aa),
+                                   atol=1e-4)
+        assert np.abs(np.asarray(ca.self_k, np.int32)
+                      - np.asarray(cb.self_k, np.int32)).max() <= 1
+        assert np.abs(np.asarray(ca.self_v, np.int32)
+                      - np.asarray(cb.self_v, np.int32)).max() <= 1
+        # beam reorder between steps (gather rings + scales by src beam),
+        # exercising per-row ring divergence
+        src = jnp.asarray(rng.integers(0, nb, size=nb), jnp.int32)
+        reorder = lambda c: c._replace(  # noqa: E731
+            self_k=c.self_k[:, src], self_v=c.self_v[:, src],
+            self_k_scale=c.self_k_scale[:, src],
+            self_v_scale=c.self_v_scale[:, src])
+        ca, cb = reorder(ca), reorder(cb)
+        toks = jnp.asarray(la.argmax(-1), jnp.int32)[src]
+    np.testing.assert_array_equal(np.asarray(cb.cross_k, np.int32),
+                                  np.asarray(cache.cross_k, np.int32))
+
+
+def test_b1_kernel_beam_decode_integration():
+    """beam_decode with opts.b1_decode_kernel at batch 1 + int8 self
+    ring: high token agreement with the plain XLA beam path; outside the
+    gate (bf16 ring) the flag must be a bit-identical no-op."""
+    from crisperwhisper_tpu.config import GenerationOptions
+    from crisperwhisper_tpu.decoding.beam import beam_decode_jit
+    from helpers import TINY_SPECIALS
+
+    arch, params, _, sel = _setup()
+    mel = rand_mel(batch=1, seed=7)
+    enc = encode(params, arch, jnp.asarray(mel))
+    prompt = jnp.concatenate(
+        [jnp.full((1, 1), TINY_SPECIALS.sot, jnp.int32),
+         jnp.full((1, 1), TINY_SPECIALS.no_timestamps, jnp.int32)], axis=1)
+    base = dict(max_initial_timestamp_index=50)
+    opts_off = GenerationOptions(**base)
+    opts_on = GenerationOptions(**base, b1_decode_kernel=True)
+    kw = dict(num_beams=4, align_sel=sel, return_timestamps=False,
+              cross_cache_dtype=jnp.int8, self_cache_dtype=jnp.int8)
+    ref = beam_decode_jit(params, arch, TINY_SPECIALS, opts_off, enc,
+                          prompt, 16, **kw)
+    got = beam_decode_jit(params, arch, TINY_SPECIALS, opts_on, enc,
+                          prompt, 16, **kw)
+    r, g = np.asarray(ref.sequences)[0], np.asarray(got.sequences)[0]
+    n = min(int(ref.num_generated[0]), int(got.num_generated[0]))
+    agree = float((r[:n] == g[:n]).mean())
+    assert agree >= 0.9, (agree, r[:n], g[:n])
+    np.testing.assert_allclose(np.asarray(got.sequences_scores),
+                               np.asarray(ref.sequences_scores), atol=0.1)
+    # outside the gate: bf16 self ring -> flag is a no-op, bit-identical
+    kw_bf = dict(num_beams=4, align_sel=sel, return_timestamps=False)
+    ref_bf = beam_decode_jit(params, arch, TINY_SPECIALS, opts_off, enc,
+                             prompt, 16, **kw_bf)
+    got_bf = beam_decode_jit(params, arch, TINY_SPECIALS, opts_on, enc,
+                             prompt, 16, **kw_bf)
+    np.testing.assert_array_equal(np.asarray(ref_bf.sequences),
+                                  np.asarray(got_bf.sequences))
+    np.testing.assert_array_equal(np.asarray(ref_bf.align_probs),
+                                  np.asarray(got_bf.align_probs))

@@ -95,3 +95,29 @@ def test_int8_both_caches_with_alignment():
     sums = probs.sum(-1)
     recorded = sums[sums > 0]
     assert recorded.size and np.allclose(recorded, 1.0, atol=2e-2)
+
+
+def test_int8_self_ring_beam_agreement():
+    """Beam search with the int8 SELF ring (self_cache_dtype) must
+    overwhelmingly agree with the bf16-ring beams: scales ride the
+    while-loop carry and are reordered with the rings at each beam
+    shuffle. Multi-token prompt exercises the quantized prefill ring."""
+    from crisperwhisper_tpu.decoding.beam import beam_decode_jit
+
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    mel = rand_mel(batch=2, seed=3)
+    enc = encode(params, arch, jnp.asarray(mel))
+    prompt = jnp.concatenate(
+        [jnp.full((2, 1), TINY_SPECIALS.sot, jnp.int32),
+         jnp.full((2, 1), TINY_SPECIALS.no_timestamps, jnp.int32)], axis=1)
+    opts = GenerationOptions(max_initial_timestamp_index=50)
+    kw = dict(num_beams=4, return_timestamps=False)
+    ref = beam_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                          16, **kw)
+    got = beam_decode_jit(params, arch, TINY_SPECIALS, opts, enc, prompt,
+                          16, self_cache_dtype=jnp.int8, **kw)
+    agree = (np.asarray(ref.sequences) == np.asarray(got.sequences)).mean()
+    assert agree >= 0.75, agree
+    np.testing.assert_allclose(np.asarray(got.sequences_scores),
+                               np.asarray(ref.sequences_scores), atol=0.15)
