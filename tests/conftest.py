@@ -25,3 +25,22 @@ jax.config.update("jax_enable_x64", False)
 # Golden parity vs torch-f32 requires true f32 matmuls; JAX's default
 # precision truncates matmul inputs to bf16 even on CPU.
 jax.config.update("jax_default_matmul_precision", "float32")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The suite compiles hundreds of large CPU programs in one process
+    (seek loops, beam loops, interpret-mode Pallas kernels); with all of
+    them held live, the XLA CPU compiler was observed to segfault
+    non-deterministically in LATE modules (backend_compile in
+    test_pipeline / test_parallel after ~170 tests — two captured
+    faulthandler dumps, different tests each time, no other Python
+    threads alive). Releasing the accumulated executables between
+    modules keeps the compiler healthy; module-scoped fixtures recompile
+    what they still need."""
+    yield
+    jax.clear_caches()
