@@ -346,3 +346,38 @@ def test_b1_kernel_beam_decode_integration():
                                   np.asarray(got_bf.sequences))
     np.testing.assert_array_equal(np.asarray(ref_bf.align_probs),
                                   np.asarray(got_bf.align_probs))
+
+
+def test_b1_kernel_beams_supported_gate():
+    """supported_beams must reject configurations outside the beam-rows
+    kernel's contract so beam_decode falls back to the XLA step."""
+    from crisperwhisper_tpu.ops.pallas_decode_b1 import supported_beams
+
+    nb = 3
+    arch = tiny_arch()
+    params = quantize_decoder_weights(
+        fuse_decoder_qkv(init_params(arch, jax.random.PRNGKey(0)),
+                         arch.head_dim))
+    enc = encode(params, arch, jnp.asarray(rand_mel(batch=1, seed=1)))
+    cache = init_cache(params, arch, enc, cross_dtype=jnp.int8,
+                       cache_len=32, self_dtype=jnp.int8, self_batch=nb)
+    toks = jnp.zeros((nb,), jnp.int32)
+    ok = lambda **kw: supported_beams(  # noqa: E731
+        kw.get("params", params), arch, kw.get("cache", cache),
+        kw.get("key_mask"), kw.get("position", jnp.int32(0)),
+        kw.get("tokens", toks))
+    assert ok()
+    assert not ok(tokens=jnp.zeros((1,), jnp.int32))       # single row ->
+    #                                                        greedy kernel
+    assert not ok(tokens=jnp.zeros((9,), jnp.int32))       # R > 8 (VMEM)
+    assert not ok(position=jnp.zeros((nb,), jnp.int32))    # vector pos
+    assert not ok(key_mask=jnp.ones((nb, 32), bool))       # masked
+    assert not ok(tokens=jnp.zeros((2,), jnp.int32))       # ring rows != R
+    bf16_cache = init_cache(params, arch, enc, cache_len=32,
+                            self_batch=nb)
+    assert not ok(cache=bf16_cache)                        # bf16 rings
+    enc2 = encode(params, arch, jnp.asarray(rand_mel(batch=2, seed=1)))
+    multi_item = init_cache(params, arch, enc2, cross_dtype=jnp.int8,
+                            cache_len=32, self_dtype=jnp.int8,
+                            self_batch=nb)
+    assert not ok(cache=multi_item)                        # cross batch != 1
