@@ -34,7 +34,9 @@ Env knobs: BENCH_BATCH, BENCH_TOKEN_ROWS ("128,192,256"), BENCH_ITERS,
 BENCH_KV ("int8"|"int4"|"bf16"), BENCH_SELF_KV ("int8"|"int4"|"bf16"),
 BENCH_W ("int8"|"int4" group-wise nibble-packed|"bf16"; int4 runs on the
 TPU backend since the uint8 nibble-packed layout — models/quantize.py),
-BENCH_B1 / BENCH_SPEC ("0" to skip the batch-1 / prompt-lookup rows).
+BENCH_B1 / BENCH_SPEC / BENCH_BEAM / BENCH_ROWS ("0" to skip the
+batch-1 / prompt-lookup / beam-5 / batch-8 rows), BENCH_HEADLINE
+(headline token budget override for smokes).
 """
 
 import json
@@ -62,7 +64,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 TOKEN_ROWS = tuple(int(t) for t in
                    os.environ.get("BENCH_TOKEN_ROWS", "128,192,256")
                    .split(","))
-HEADLINE_TOKENS = 192
+HEADLINE_TOKENS = int(os.environ.get("BENCH_HEADLINE", "192"))
 ITERS = int(os.environ.get("BENCH_ITERS", "4"))
 N_ALIGN_HEADS = 15     # CrisperWhisper fine-tunes 15 heads (README:295)
 KV = os.environ.get("BENCH_KV", "int4")
@@ -363,6 +365,103 @@ def main():
             except Exception as e:                # pragma: no cover
                 print(f"# spec+b1-kernel row skipped: "
                       f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+
+    # ---- small-batch rows (BASELINE config 3 shape: batch=8) ----------
+    # The multi-stream rows kernel (ops/pallas_decode_b1.decode_step_rows)
+    # covers 2..8 distinct streams: per-row self rings AND per-row cross
+    # caches under the same b1_decode_kernel gate. Batch 8 is the
+    # long-form batched-chunked scenario's device batch.
+    if (os.environ.get("BENCH_ROWS", "1") != "0" and BATCH >= 8):
+        n_tokens = HEADLINE_TOKENS
+        audio8 = audio[:8]
+        materialize(run_device(params, audio8, n_tokens))     # compile
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            materialize(run_device(params, audio8, n_tokens))
+        b8_s = (time.perf_counter() - t0) / ITERS
+        row = {"mode": "batch8", "batch": 8, "tokens_per_chunk": n_tokens,
+               "device_s": round(b8_s, 3),
+               "rtfx_device": round(8 * feat_cfg.chunk_length / b8_s, 1)}
+        rows.append(row)
+        print(f"# row: {json.dumps(row)}", flush=True)
+        if on_tpu and W_BITS == 8 and SELF_KV == "int8":
+            opts_rk = GenerationOptions(max_initial_timestamp_index=50,
+                                        b1_decode_kernel=True)
+            try:
+                materialize(run_device(params, audio8, n_tokens,
+                                       opts_override=opts_rk))
+                t0 = time.perf_counter()
+                for _ in range(ITERS):
+                    materialize(run_device(params, audio8, n_tokens,
+                                           opts_override=opts_rk))
+                rk_s = (time.perf_counter() - t0) / ITERS
+                row = {"mode": "batch8_rows_kernel", "batch": 8,
+                       "tokens_per_chunk": n_tokens,
+                       "device_s": round(rk_s, 3),
+                       "rtfx_device": round(8 * feat_cfg.chunk_length
+                                            / rk_s, 1),
+                       "speedup_vs_batch8_xla": round(b8_s / rk_s, 2)}
+                rows.append(row)
+                print(f"# row: {json.dumps(row)}", flush=True)
+            except Exception as e:                # pragma: no cover
+                print(f"# rows-kernel row skipped: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+
+    # ---- beam-5 single-stream rows (the hf-pipeline default decode) ----
+    # hf pipelines/base.py:1493 run_single with the checkpoint's
+    # generation default num_beams=5 is the reference app's actual
+    # interactive config; measure it at B=1 as the XLA scanned step and,
+    # when the quantized gate holds, as the fused beam-rows kernel
+    # (ops/pallas_decode_b1.decode_step_b1_beams).
+    if os.environ.get("BENCH_BEAM", "1") != "0":
+        from crisperwhisper_tpu.decoding.beam import beam_decode_jit
+        n_tokens = HEADLINE_TOKENS
+        audio1 = audio[:1]
+        n_beams = 5
+
+        def run_beam(o):
+            enc = enc_fn(params, audio1)
+            res = beam_decode_jit(
+                params, arch, sp, o, enc,
+                jnp.full((1, 1), sp.sot, jnp.int32), n_tokens, n_beams,
+                suppress_mask=suppress, align_sel=align_sel,
+                align_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                cross_cache_dtype=kv_dtype,
+                self_cache_dtype=self_kv_dtype)
+            jumps = attention_to_jump_times(
+                res.align_probs.astype(jnp.float32), 7,
+                jnp.maximum(res.num_generated - 1, 0),
+                jnp.full((1,), arch.max_source_positions, jnp.int32),
+                full_frames=on_tpu)
+            return res.sequences, jumps
+
+        variants = [("single_stream_beam5", opts)]
+        if on_tpu and W_BITS == 8 and SELF_KV == "int8":
+            variants.append(("single_stream_beam5_kernel",
+                             GenerationOptions(
+                                 max_initial_timestamp_index=50,
+                                 b1_decode_kernel=True)))
+        beam_plain_s = None
+        for mode, o in variants:
+            try:
+                materialize(run_beam(o))                     # compile
+                t0 = time.perf_counter()
+                for _ in range(ITERS):
+                    materialize(run_beam(o))
+                bs = (time.perf_counter() - t0) / ITERS
+            except Exception as e:                # pragma: no cover
+                print(f"# {mode} row skipped: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+                continue
+            row = {"mode": mode, "batch": 1, "num_beams": n_beams,
+                   "tokens_per_chunk": n_tokens,
+                   "latency_ms_per_30s_chunk": round(bs * 1e3, 1)}
+            if mode.endswith("_kernel") and beam_plain_s:
+                row["speedup_vs_beam5_xla"] = round(beam_plain_s / bs, 2)
+            else:
+                beam_plain_s = bs
+            rows.append(row)
+            print(f"# row: {json.dumps(row)}", flush=True)
 
     if headline is None:                    # HEADLINE_TOKENS not in rows
         headline = next((r.get("rtfx_e2e", r.get("rtfx_device"))

@@ -166,6 +166,15 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                      and key_mask is None and pos_offset is None
                      and _b1k.supported(params, arch, cache, key_mask, 1,
                                         jnp.int32(0), prompt[:, 0]))
+    # small-batch (2..8 rows) multi-stream variant: per-row cross caches
+    # via the R-phase cross schedule; covers the compacted seek-loop
+    # tails and short interactive files under the same numerics gate
+    use_rows_kernel = (getattr(opts, "b1_decode_kernel", False)
+                       and not use_b1_kernel
+                       and key_mask is None and pos_offset is None
+                       and _b1k.supported_rows(params, arch, cache,
+                                               key_mask, jnp.int32(0),
+                                               prompt[:, 0]))
 
     def cond(c: _Carry):
         return (c.t < t_total - 1) & ~jnp.all(c.finished)
@@ -177,6 +186,10 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                                     self_v_scale=c.self_vs)
         if use_b1_kernel:
             logits, new_cache, align = _b1k.decode_step_b1(
+                params, arch, feed, c.t, step_cache, align_sel=align_sel,
+                align_dtype=align_dtype)
+        elif use_rows_kernel:
+            logits, new_cache, align = _b1k.decode_step_rows(
                 params, arch, feed, c.t, step_cache, align_sel=align_sel,
                 align_dtype=align_dtype)
         else:

@@ -98,12 +98,16 @@ class B1Schedule(NamedTuple):
 
 
 def make_schedule(d: int, f: int, tile_bytes: int = 768 * 1024,
-                  self_phases: int = 1) -> B1Schedule:
+                  self_phases: int = 1,
+                  cross_phases: int = 1) -> B1Schedule:
     """self_phases=1: one score + one out phase over a SHARED ring (the
     single-token / M-token-block variants). self_phases=R: one score and
     one out phase PER ROW, each fetching only that row's ring — the
     beam-rows variant, which keeps per-row ring blocks (not R rings at
-    once) inside VMEM."""
+    once) inside VMEM. cross_phases=R additionally splits the cross
+    score/out into one phase per row fetching that row's cross block —
+    the multi-STREAM small-batch variant (rows own distinct items, so
+    the cross cache is per-row too; beams share it)."""
     n_qkv = _pick_tiles(d, 3 * d, 1, tile_bytes)
     n_o = _pick_tiles(d, d, 1, tile_bytes)
     n_cq = n_o
@@ -116,8 +120,8 @@ def make_schedule(d: int, f: int, tile_bytes: int = 768 * 1024,
     s_o = s_selfv + self_phases
     s_cq = s_o + n_o
     s_crossk = s_cq + n_cq
-    s_crossv = s_crossk + 1
-    s_co = s_crossv + 1
+    s_crossv = s_crossk + cross_phases
+    s_co = s_crossv + cross_phases
     s_m1 = s_co + n_co
     s_m2 = s_m1 + n_m1
     total = s_m2 + n_m2
@@ -144,7 +148,7 @@ def _kernel(pos_ref,                                     # scalar prefetch
             *, sched: B1Schedule, m: int, d: int, f: int, h: int, dh: int,
             t_ring: int, k_enc: int, n_align: int, self_qmax: float,
             cross_is_int4: bool, align_bf16: bool, chunk: int = 512,
-            beams: bool = False):
+            beams: bool = False, rows_cross: bool = False):
     """One (layer, phase) grid step over an M-token block (M=1: plain
     decode; M=spec window: the assisted-decoding verify pass — block
     rows are causal among themselves, matching decode_step_multi).
@@ -153,6 +157,12 @@ def _kernel(pos_ref,                                     # scalar prefetch
     ring (blocked per row by the R-phase self schedule) plus its own
     fresh column, with no inter-row coupling; this matches
     decode_step(beam_groups=m) at batch 1.
+    rows_cross=True (implies beams-style self handling): the M rows are
+    DISTINCT STREAMS at one shared position — the cross cache is
+    per-row too, fetched one row per phase by the R-phase cross
+    schedule. This is plain decode_step at batch M on the fused kernel
+    (the small-batch serving regime: compacted seek-loop tails, short
+    interactive files, low-concurrency live streams).
     Scratch:
     xr [M, d] f32 residual stream; y [M, max(3d,f)] f32 GEMV input;
     acc [M, max(3d,f)] f32 tile accumulator; qh [M*h, dh] f32 current
@@ -396,35 +406,76 @@ def _kernel(pos_ref,                                     # scalar prefetch
         for mi in range(m):
             qh[mi * h:(mi + 1) * h, :] = qc[mi].reshape(h, dh)
 
-    @pl.when(s == c.s_crossk)
-    def _cross_scores():
-        for mi in range(m):
-            q_m = qh[mi * h:(mi + 1) * h, :]
-            sc = _qk_scores(q_m, cross_k_ref, k_enc)    # [h, K]
-            sc = sc * cross_ks_ref[0].astype(jnp.float32)
+    if not rows_cross:
+        @pl.when(s == c.s_crossk)
+        def _cross_scores():
+            for mi in range(m):
+                q_m = qh[mi * h:(mi + 1) * h, :]
+                sc = _qk_scores(q_m, cross_k_ref, k_enc)    # [h, K]
+                sc = sc * cross_ks_ref[0].astype(jnp.float32)
+                mx = jnp.max(sc, axis=1, keepdims=True)
+                e = jnp.exp(sc - mx)
+                pr[mi * h:(mi + 1) * h, :k_enc] = (
+                    e / jnp.sum(e, axis=1, keepdims=True))
+
+        @pl.when(s == c.s_crossv)
+        def _cross_out():
+            for mi in range(m):
+                p = pr[mi * h:(mi + 1) * h, :k_enc]
+                # alignment capture: one-hot selector row for this layer;
+                # round to bf16 first (parity with the XLA stacked-bf16
+                # accumulation)
+                contrib = jax.lax.dot_general(
+                    sel_ref[0], p, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [A, K]
+                if align_bf16:
+                    contrib = (contrib.astype(jnp.bfloat16)
+                               .astype(jnp.float32))
+                align_ref[:, mi, :] += contrib
+                pv = p * cross_vs_ref[0].astype(jnp.float32)
+                out = _pv_out(pv, cross_v_ref, k_enc)       # [h, dh]
+                y[mi:mi + 1, :d] = out.reshape(1, d)
+            acc[...] = jnp.zeros_like(acc)
+    else:
+        # ---- multi-stream cross attention: R score phases + R out
+        # phases, phase r fetching ONLY row r's cross block (one row's
+        # K or V in VMEM at a time; BlockSpec row map as for the rings).
+        in_crossk = (s >= c.s_crossk) & (s < c.s_crossv)
+        in_crossv = (s >= c.s_crossv) & (s < c.s_co)
+
+        @pl.when(in_crossk)
+        def _cross_scores_row():
+            r = s - c.s_crossk
+            q_r = qh[pl.ds(r * h, h), :]                    # [h, dh]
+            sc = _qk_scores(q_r, cross_k_ref, k_enc, lead=(0, 0))
+            sc = sc * cross_ks_ref[0, 0].astype(jnp.float32)
             mx = jnp.max(sc, axis=1, keepdims=True)
             e = jnp.exp(sc - mx)
-            pr[mi * h:(mi + 1) * h, :k_enc] = (
+            pr[pl.ds(r * h, h), :k_enc] = (
                 e / jnp.sum(e, axis=1, keepdims=True))
 
-    @pl.when(s == c.s_crossv)
-    def _cross_out():
-        for mi in range(m):
-            p = pr[mi * h:(mi + 1) * h, :k_enc]
-            # alignment capture: one-hot selector row for this layer;
-            # round to bf16 first (parity with the XLA stacked-bf16
-            # accumulation)
+        @pl.when(in_crossv)
+        def _cross_out_row():
+            r = s - c.s_crossv
+            p = pr[pl.ds(r * h, h), :k_enc]
             contrib = jax.lax.dot_general(
                 sel_ref[0], p, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # [A, K]
+                preferred_element_type=jnp.float32)         # [A, K]
             if align_bf16:
                 contrib = (contrib.astype(jnp.bfloat16)
                            .astype(jnp.float32))
-            align_ref[:, mi, :] += contrib
-            pv = p * cross_vs_ref[0].astype(jnp.float32)
-            out = _pv_out(pv, cross_v_ref, k_enc)       # [h, dh]
-            y[mi:mi + 1, :d] = out.reshape(1, d)
-        acc[...] = jnp.zeros_like(acc)
+            # dynamic sublane slice of the [A, M, K] accumulator — the
+            # same dynamic-offset class as the pr row writes above
+            align_ref[:, pl.ds(r, 1), :] += contrib[:, None, :]
+            pv = p * cross_vs_ref[0, 0].astype(jnp.float32)
+            out = _pv_out(pv, cross_v_ref, k_enc, lead=(0, 0))
+            y[pl.ds(r, 1), :d] = out.reshape(1, d)
+
+        @pl.when(s == c.s_co - 1)
+        def _prep_co_acc():
+            # last cross-out phase: clear the accumulator for the
+            # c_o-projection tiles that start next grid step
+            acc[...] = jnp.zeros_like(acc)
 
     @pl.when(s == c.s_co + c.n_co - 1)
     def _finish_co():
@@ -481,9 +532,10 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
      ring_k, ring_v, ring_ks, ring_vs,
      cross_k, cross_v, cross_ks, cross_vs, sel) = operands
     (L, m, d, f, h, dh, t_ring, k_enc, n_align, self_qmax, cross_is_int4,
-     align_bf16, tile_bytes, chunk, beams) = arch_key
+     align_bf16, tile_bytes, chunk, beams, rows_cross) = arch_key
     sched = make_schedule(d, f, tile_bytes,
-                          self_phases=m if beams else 1)
+                          self_phases=m if beams else 1,
+                          cross_phases=m if rows_cross else 1)
     c = sched
 
     def wspec(w, start, n):
@@ -504,15 +556,16 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
         wspec(m1_w, c.s_m1, c.n_m1), lspec(m1_s), lspec(m1_b),
         wspec(m2_w, c.s_m2, c.n_m2), lspec(m2_s), lspec(m2_b),
     ]
+    def _rowmap(start, nd):
+        # per-row blocks: phase r of a band fetches ONLY row r's slice
+        # (keeps one ring/cross row, not R of them, in VMEM)
+        def imap(l, s, pos):  # noqa: E741
+            del pos
+            r = jnp.clip(s - start, 0, m - 1)
+            return (l, r) + (0,) * (nd - 2)
+        return imap
+
     if beams:
-        # per-row ring blocks: phase r of each self band fetches ONLY
-        # beam row r's ring (keeps one ring row, not R, in VMEM)
-        def _rowmap(start, nd):
-            def imap(l, s, pos):  # noqa: E741
-                del pos
-                r = jnp.clip(s - start, 0, m - 1)
-                return (l, r) + (0,) * (nd - 2)
-            return imap
         in_specs += [
             pl.BlockSpec((1, 1, h, dh, t_ring), _rowmap(c.s_selfk, 5)),
             pl.BlockSpec((1, 1, h, dh, t_ring), _rowmap(c.s_selfv, 5)),
@@ -522,10 +575,17 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
     else:
         in_specs += [lspec(ring_k), lspec(ring_v),
                      lspec(ring_ks), lspec(ring_vs)]
-    in_specs += [
-        lspec(cross_k), lspec(cross_v), lspec(cross_ks), lspec(cross_vs),
-        lspec(sel),
-    ]
+    if rows_cross:
+        in_specs += [
+            pl.BlockSpec((1, 1, h, dh, k_enc), _rowmap(c.s_crossk, 5)),
+            pl.BlockSpec((1, 1, h, dh, k_enc), _rowmap(c.s_crossv, 5)),
+            pl.BlockSpec((1, 1, h, k_enc), _rowmap(c.s_crossk, 4)),
+            pl.BlockSpec((1, 1, h, k_enc), _rowmap(c.s_crossv, 4)),
+        ]
+    else:
+        in_specs += [lspec(cross_k), lspec(cross_v),
+                     lspec(cross_ks), lspec(cross_vs)]
+    in_specs += [lspec(sel)]
     out_shapes = (
         jax.ShapeDtypeStruct((m, d), jnp.float32),               # hid
         jax.ShapeDtypeStruct((n_align, m, k_enc), jnp.float32),  # align
@@ -555,7 +615,7 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
         _kernel, sched=sched, m=m, d=d, f=f, h=h, dh=dh, t_ring=t_ring,
         k_enc=k_enc, n_align=n_align, self_qmax=self_qmax,
         cross_is_int4=cross_is_int4, align_bf16=align_bf16, chunk=chunk,
-        beams=beams)
+        beams=beams, rows_cross=rows_cross)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -591,9 +651,11 @@ def supported(params: Any, arch, cache, key_mask, beam_groups: int,
 
 
 def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
-                align_dtype, interpret, m: int, beams: bool = False):
+                align_dtype, interpret, m: int, beams: bool = False,
+                rows: bool = False):
     """Shared operand prep + kernel invocation for an M-token block
-    (beams=True: M beam rows at one position, per-row rings).
+    (beams=True: M beam rows at one position, per-row rings; rows=True
+    additionally makes the cross cache per-row — M distinct streams).
     Returns (hid [M, d] f32, align [A, M, K] f32,
              kcol/vcol [L, M, h, dh] int8, ksc/vsc [L, M, h] f32)."""
     dec = params["decoder"]
@@ -631,9 +693,9 @@ def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
            else jnp.zeros((L, h, 1), jnp.float32))
 
     cross_is_int4 = cache.cross_k.dtype == jnp.int4
-    if beams:
-        # the M rows are beams: keep the whole [L, R, ...] rings (the
-        # row-phase BlockSpecs fetch one row at a time)
+    if beams or rows:
+        # the M rows are beams/streams: keep the whole [L, R, ...] rings
+        # (the row-phase BlockSpecs fetch one row at a time)
         ring_ops = (cache.self_k, cache.self_v,
                     cache.self_k_scale.astype(jnp.float32),
                     cache.self_v_scale.astype(jnp.float32))
@@ -641,6 +703,15 @@ def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
         ring_ops = (cache.self_k[:, 0], cache.self_v[:, 0],
                     cache.self_k_scale[:, 0].astype(jnp.float32),
                     cache.self_v_scale[:, 0].astype(jnp.float32))
+    if rows:
+        # per-row cross caches too (M distinct streams)
+        cross_ops = (cache.cross_k, cache.cross_v,
+                     cache.cross_k_scale.astype(jnp.float32),
+                     cache.cross_v_scale.astype(jnp.float32))
+    else:
+        cross_ops = (cache.cross_k[:, 0], cache.cross_v[:, 0],
+                     cache.cross_k_scale[:, 0].astype(jnp.float32),
+                     cache.cross_v_scale[:, 0].astype(jnp.float32))
     operands = (
         x0, lns,
         lay["self"]["qkv"]["w_q"], qkv_s, qkv_b,
@@ -650,9 +721,7 @@ def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
         lay["mlp"]["fc1"]["w_q"], m1_s, m1_b,
         lay["mlp"]["fc2"]["w_q"], m2_s, m2_b,
         *ring_ops,
-        cache.cross_k[:, 0], cache.cross_v[:, 0],
-        cache.cross_k_scale[:, 0].astype(jnp.float32),
-        cache.cross_v_scale[:, 0].astype(jnp.float32),
+        *cross_ops,
         sel,
     )
     # VMEM budget: the M-token variant carries M-row scratch, an [A, M,
@@ -665,7 +734,7 @@ def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
     arch_key = (L, m, arch.d_model, arch.decoder_ffn_dim, h, dh, t_ring,
                 k_enc, n_align, 127.0, cross_is_int4,
                 jnp.dtype(align_dtype) == jnp.bfloat16, tile_bytes, chunk,
-                beams)
+                beams, rows)
     return _call_kernel(operands, position, arch_key, interpret=interpret)
 
 
@@ -798,6 +867,29 @@ def supported_beams(params: Any, arch, cache, key_mask, position,
             and cache.cross_k.dtype in (jnp.int8, jnp.int4))
 
 
+def supported_rows(params: Any, arch, cache, key_mask, position,
+                   tokens) -> bool:
+    """Multi-stream rows gate: R DISTINCT streams (small batch, 2..8) at
+    a shared scalar position — quantized fused weights, int8 per-row
+    self rings, quantized PER-ROW cross caches. This is the small-batch
+    serving regime (compacted seek-loop tails, short interactive files,
+    low-concurrency live streams); R is capped at 8 to bound the R-phase
+    probability band's VMEM."""
+    dec = params["decoder"]
+    lay = dec["layers"]
+    return (tokens.ndim == 1 and 1 < tokens.shape[0] <= 8
+            and jnp.asarray(position).ndim == 0
+            and key_mask is None
+            and "qkv" in lay["self"] and "w_q" in lay["self"]["qkv"]
+            and "w_q" in lay["mlp"]["fc1"]
+            and cache.self_k_scale is not None
+            and cache.self_k.dtype == jnp.int8
+            and cache.self_k.shape[1] == tokens.shape[0]
+            and cache.cross_k.shape[1] == tokens.shape[0]
+            and cache.cross_k_scale is not None
+            and cache.cross_k.dtype in (jnp.int8, jnp.int4))
+
+
 def decode_step_b1_beams(params: Any, arch, tokens, position, cache,
                          align_sel=None, align_dtype=jnp.float32,
                          interpret: bool | None = None):
@@ -809,6 +901,31 @@ def decode_step_b1_beams(params: Any, arch, tokens, position, cache,
     align_probs [R, A, K] f32) — the shapes beam.py's body consumes.
     Weight streaming is identical to decode_step_b1: beams only add
     query rows, the weight tiles stay batch-invariant."""
+    return _decode_step_rowwise(params, arch, tokens, position, cache,
+                                align_sel, align_dtype, interpret,
+                                rows=False)
+
+
+def decode_step_rows(params: Any, arch, tokens, position, cache,
+                     align_sel=None, align_dtype=jnp.float32,
+                     interpret: bool | None = None):
+    """Plain decode_step at SMALL BATCH R (2..8 distinct streams, shared
+    scalar position) on the fused kernel: per-row self rings AND per-row
+    cross caches, each fetched one row per phase. The weight-stream
+    bubble analysis transfers from B=1 — rows only add query/attention
+    phases while the dominant weight stream stays batch-invariant, so
+    the small-batch regime (compacted seek-loop tails, short files,
+    low-concurrency serving) keeps the fused kernel's win.
+    tokens: int32 [R]. Returns (logits [R, V] f32, new cache,
+    align_probs [R, A, K] f32) — greedy.py's body contract."""
+    return _decode_step_rowwise(params, arch, tokens, position, cache,
+                                align_sel, align_dtype, interpret,
+                                rows=True)
+
+
+def _decode_step_rowwise(params: Any, arch, tokens, position, cache,
+                         align_sel, align_dtype, interpret, *,
+                         rows: bool):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dec = params["decoder"]
@@ -818,7 +935,7 @@ def decode_step_b1_beams(params: Any, arch, tokens, position, cache,
           + dec["pos_emb"][position][None].astype(jnp.float32))   # [R, d]
     hid, align, kcol, vcol, ksc, vsc = _run_kernel(
         params, arch, x0, position, cache, align_sel, align_dtype,
-        interpret, m=r, beams=True)
+        interpret, m=r, beams=True, rows=rows)
 
     # ---- ring update: R per-row fresh columns at ONE shared slot ----
     new_k = jax.lax.dynamic_update_slice(

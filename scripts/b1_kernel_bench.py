@@ -9,7 +9,8 @@ Usage: python scripts/b1_kernel_bench.py [n_steps]
 Env: ITERS (default 3), RING (default 384), CROSS (int4|int8, default
 int4), VARIANTS ("xla,kernel" | "xla_multi,kernel_multi" w/ BLK |
 "xla_beam,kernel_beam" w/ NB — the hf-pipeline-default num_beams=5
-single-stream shape).
+single-stream shape | "xla_rows,kernel_rows" w/ NROWS — small-batch
+multi-stream decode, per-row cross caches).
 """
 
 import os
@@ -154,6 +155,18 @@ def main():
                       if name == "xla_beam" else decode_step_b1_beams)
             denom = N          # per beam-STEP (all NB rows advance once)
             tok0 = jnp.arange(7, 7 + nb, dtype=jnp.int32)
+        elif name.endswith("_rows"):
+            from crisperwhisper_tpu.ops.pallas_decode_b1 import (
+                decode_step_rows)
+            nr = int(os.environ.get("NROWS", "4"))
+            enc_r = jnp.broadcast_to(enc, (nr,) + enc.shape[1:])
+            cache_v = init_cache(params, arch, enc_r,
+                                 cross_dtype=cross_dtype,
+                                 cache_len=RING, self_dtype=jnp.int8)
+            fn = loop(decode_step if name == "xla_rows"
+                      else decode_step_rows)
+            denom = N          # per STEP (all NROWS streams advance once)
+            tok0 = jnp.arange(7, 7 + nr, dtype=jnp.int32)
         else:
             fn = loop(decode_step if name == "xla" else decode_step_b1)
             denom = N

@@ -41,6 +41,10 @@ say "1c. b1 kernel bench: beam rows (NB=5, the hf-pipeline default decode)"
 timeout 1800 env VARIANTS=xla_beam,kernel_beam NB=5 \
   python scripts/b1_kernel_bench.py 128 >> "$LOG" 2>&1 || say "b1 beam rc=$?"
 
+say "1d. b1 kernel bench: multi-stream rows (NROWS=4, small-batch serving)"
+timeout 1800 env VARIANTS=xla_rows,kernel_rows NROWS=4 \
+  python scripts/b1_kernel_bench.py 128 >> "$LOG" 2>&1 || say "b1 rows rc=$?"
+
 say "2. full bench.py"
 timeout 3600 python bench.py >> "$LOG" 2>&1 || say "bench rc=$?"
 

@@ -381,3 +381,125 @@ def test_b1_kernel_beams_supported_gate():
                             cache_len=32, self_dtype=jnp.int8,
                             self_batch=nb)
     assert not ok(cache=multi_item)                        # cross batch != 1
+
+
+def test_b1_kernel_rows_step_parity():
+    """Multi-stream rows kernel vs plain decode_step at batch R: R
+    DISTINCT items (per-row cross caches), chained steps. Per-row argmax
+    agreement, logits/alignment within the numerics band, per-row ring
+    columns within 1 LSB."""
+    from crisperwhisper_tpu.ops.pallas_decode_b1 import (decode_step_rows,
+                                                         supported_rows)
+
+    r = 4
+    arch = tiny_arch()
+    params = quantize_decoder_weights(
+        fuse_decoder_qkv(init_params(arch, jax.random.PRNGKey(0)),
+                         arch.head_dim))
+    mel = rand_mel(batch=r, seed=3)
+    enc = encode(params, arch, jnp.asarray(mel))
+    cache = init_cache(params, arch, enc, cross_dtype=jnp.int8,
+                       cache_len=32, self_dtype=jnp.int8)
+    sel = jnp.asarray(alignment_selector(arch, ((0, 1), (1, 2))))
+    assert supported_rows(params, arch, cache, None, jnp.int32(0),
+                          jnp.zeros((r,), jnp.int32))
+
+    ca = cb = cache
+    toks = jnp.asarray([5, 9, 13, 2], jnp.int32)
+    for i in range(6):
+        la, ca, aa = decode_step(params, arch, toks, jnp.int32(i), ca,
+                                 align_sel=sel)
+        lb, cb, ab = decode_step_rows(params, arch, toks, jnp.int32(i),
+                                      cb, align_sel=sel, interpret=True)
+        la, lb = np.asarray(la), np.asarray(lb)
+        assert (la.argmax(-1) == lb.argmax(-1)).all(), i
+        np.testing.assert_allclose(lb, la, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(ab), np.asarray(aa),
+                                   atol=1e-4)
+        assert np.abs(np.asarray(ca.self_k, np.int32)
+                      - np.asarray(cb.self_k, np.int32)).max() <= 1
+        assert np.abs(np.asarray(ca.self_v, np.int32)
+                      - np.asarray(cb.self_v, np.int32)).max() <= 1
+        toks = jnp.asarray(la.argmax(-1), jnp.int32)
+    np.testing.assert_array_equal(np.asarray(cb.cross_k, np.int32),
+                                  np.asarray(cache.cross_k, np.int32))
+
+
+def test_b1_kernel_rows_greedy_integration():
+    """greedy_decode at SMALL BATCH (3 streams) with
+    opts.b1_decode_kernel: high per-row token agreement with the plain
+    XLA path; outside the gate (bf16 caches) the flag is a bit-identical
+    no-op."""
+    from crisperwhisper_tpu.config import GenerationOptions
+    from crisperwhisper_tpu.decoding.greedy import greedy_decode_jit
+    from helpers import TINY_SPECIALS
+
+    b = 3
+    arch = tiny_arch()
+    params = quantize_decoder_weights(
+        fuse_decoder_qkv(init_params(arch, jax.random.PRNGKey(0)),
+                         arch.head_dim))
+    mel = rand_mel(batch=b, seed=9)
+    enc = encode(params, arch, jnp.asarray(mel))
+    sel = jnp.asarray(alignment_selector(arch, ((0, 1), (1, 2))))
+    prompt = jnp.full((b, 1), TINY_SPECIALS.sot, jnp.int32)
+    base = dict(max_initial_timestamp_index=50)
+    opts_off = GenerationOptions(**base)
+    opts_on = GenerationOptions(**base, b1_decode_kernel=True)
+    kw = dict(align_sel=sel, cross_cache_dtype=jnp.int8,
+              self_cache_dtype=jnp.int8)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS, opts_off, enc,
+                            prompt, 16, **kw)
+    got = greedy_decode_jit(params, arch, TINY_SPECIALS, opts_on, enc,
+                            prompt, 16, **kw)
+    for i in range(b):
+        rr = np.asarray(ref.sequences)[i]
+        gg = np.asarray(got.sequences)[i]
+        n = min(int(ref.num_generated[i]), int(got.num_generated[i]))
+        agree = float((rr[:n] == gg[:n]).mean())
+        assert agree >= 0.9, (i, agree, rr[:n], gg[:n])
+    # outside the gate (bf16 caches): flag must be a no-op, bit-identical
+    ref_bf = greedy_decode_jit(params, arch, TINY_SPECIALS, opts_off, enc,
+                               prompt, 16, align_sel=sel)
+    got_bf = greedy_decode_jit(params, arch, TINY_SPECIALS, opts_on, enc,
+                               prompt, 16, align_sel=sel)
+    np.testing.assert_array_equal(np.asarray(ref_bf.sequences),
+                                  np.asarray(got_bf.sequences))
+    np.testing.assert_array_equal(np.asarray(ref_bf.align_probs),
+                                  np.asarray(got_bf.align_probs))
+
+
+def test_b1_kernel_rows_supported_gate():
+    """supported_rows must reject configurations outside the
+    multi-stream kernel's contract so greedy_decode falls back to the
+    XLA step."""
+    from crisperwhisper_tpu.ops.pallas_decode_b1 import supported_rows
+
+    r = 3
+    arch = tiny_arch()
+    params = quantize_decoder_weights(
+        fuse_decoder_qkv(init_params(arch, jax.random.PRNGKey(0)),
+                         arch.head_dim))
+    enc = encode(params, arch, jnp.asarray(rand_mel(batch=r, seed=1)))
+    cache = init_cache(params, arch, enc, cross_dtype=jnp.int8,
+                       cache_len=32, self_dtype=jnp.int8)
+    toks = jnp.zeros((r,), jnp.int32)
+    ok = lambda **kw: supported_rows(  # noqa: E731
+        kw.get("params", params), arch, kw.get("cache", cache),
+        kw.get("key_mask"), kw.get("position", jnp.int32(0)),
+        kw.get("tokens", toks))
+    assert ok()
+    assert not ok(tokens=jnp.zeros((1,), jnp.int32))       # single row ->
+    #                                                        greedy kernel
+    assert not ok(tokens=jnp.zeros((9,), jnp.int32))       # R > 8 (VMEM)
+    assert not ok(position=jnp.zeros((r,), jnp.int32))     # vector pos
+    assert not ok(key_mask=jnp.ones((r, 32), bool))        # masked
+    bf16_cache = init_cache(params, arch, enc, cache_len=32)
+    assert not ok(cache=bf16_cache)                        # bf16 rings
+    # a BEAMS-layout cache (one shared cross item, R rings) must NOT pass
+    # the rows gate — that config belongs to supported_beams
+    enc1 = encode(params, arch, jnp.asarray(rand_mel(batch=1, seed=1)))
+    beam_cache = init_cache(params, arch, enc1, cross_dtype=jnp.int8,
+                            cache_len=32, self_dtype=jnp.int8,
+                            self_batch=r)
+    assert not ok(cache=beam_cache)                        # cross rows != R

@@ -214,3 +214,42 @@ def test_pipeline_self_draft_b1_kernel_serving(ckpt_dir, wav_path,
     assert got["text"] == ref["text"]
     assert [c["timestamp"] for c in got["chunks"]] == \
         [c["timestamp"] for c in ref["chunks"]]
+
+
+def test_pipeline_rows_kernel_small_batch(ckpt_dir, wav_path, monkeypatch):
+    """A quantized pipeline at batch_size=4 with
+    GenerationOptions(b1_decode_kernel=True, self_kv_cache_int8=True)
+    must route its decode loop through the SMALL-BATCH rows kernel
+    (decode_step_rows engages for 2..8 streams via supported_rows) and
+    produce a well-formed word-timestamped transcript. Numerics parity
+    for the kernel is pinned at the decoder level
+    (tests/test_b1_kernel.py::test_b1_kernel_rows_greedy_integration);
+    this pins the SERVING surface wiring."""
+    from dataclasses import replace
+    import jax.numpy as jnp
+    from crisperwhisper_tpu.config import PipelineOptions
+    from crisperwhisper_tpu.hub import load_pipeline
+    from crisperwhisper_tpu.ops import pallas_decode_b1 as _b1k
+
+    rows_hits: list[int] = []
+    real_rows = _b1k.decode_step_rows
+
+    def spy_rows(params, arch, tokens, *a, **kw):
+        rows_hits.append(int(tokens.shape[0]))
+        return real_rows(params, arch, tokens, *a, **kw)
+
+    monkeypatch.setattr(_b1k, "decode_step_rows", spy_rows)
+
+    pipe = load_pipeline(
+        ckpt_dir, dtype=jnp.float32, quantize=True,
+        pipe_opts=PipelineOptions(chunk_length_s=CHUNK_S, batch_size=4,
+                                  return_timestamps="word"))
+    pipe.gen_opts = replace(pipe.gen_opts, b1_decode_kernel=True,
+                            self_kv_cache_int8=True)
+    out = pipe(wav_path, return_timestamps="word")
+
+    assert rows_hits and all(1 < r <= 8 for r in rows_hits), rows_hits
+    assert isinstance(out["text"], str)
+    assert len(out["chunks"]) > 0
+    for c in out["chunks"]:
+        assert c["timestamp"][0] is not None
