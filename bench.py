@@ -47,6 +47,10 @@ import time
 import numpy as np
 
 import jax
+
+if os.environ.get("PLATFORM"):    # the axon plugin overrides JAX_PLATFORMS;
+    jax.config.update("jax_platforms", os.environ["PLATFORM"])  # this wins
+
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -395,11 +395,16 @@ def assisted_decode(params: Any, arch: WhisperArch,
         row_pos = lengths[:, None] - 1 + jnp.arange(s)[None, :]
         row_committed = commits & (row_pos >= p)
         base = (lengths - p)[:, None] + jnp.arange(s)[None, :]  # [B, S]
-        old = align_buf[rows[:, None], :, base]        # [B, S, A, K]
         align_bsak = jnp.swapaxes(align.astype(align_buf.dtype), 1, 2)
-        merged = jnp.where(row_committed[:, :, None, None],
-                           align_bsak, old)
-        align_buf = align_buf.at[rows[:, None], :, base].set(merged)
+        # NON-committed rows' writes are redirected to the leading junk
+        # slot 0 (sliced off on return) instead of read-merge-writing the
+        # old values back: committed slots are written exactly once (by
+        # the window that commits them) and never-committed slots keep
+        # their zero init, so the final buffer is identical while the
+        # [B, S, A, K] gather the merge formulation paid disappears.
+        safe_base = jnp.where(row_committed, base, 0)
+        align_buf = align_buf.at[rows[:, None], :, safe_base].set(
+            align_bsak)
 
         return (tokens, lengths + n_new, state, finished, sum_lp, no_speech,
                 align_buf, mcache.self_k, mcache.self_v,

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperArch
+from ..ops.ring_scatter import write_block_columns_group
 
 Params = dict[str, Any]
 
@@ -495,16 +496,8 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
                                         self_qmax, self_k.dtype)
                 v_col, v_sc = _quantize(v_col.astype(jnp.float32), -2,
                                         self_qmax, self_v.dtype)
-                if skip_write:
-                    pass
-                elif vector_pos:
-                    rows = jnp.arange(b)
-                    self_ks = self_ks.at[li, rows, :, position].set(
-                        k_sc[:, :, 0, 0], unique_indices=True,
-                        mode="promise_in_bounds")
-                    self_vs = self_vs.at[li, rows, :, position].set(
-                        v_sc[:, :, 0, 0], unique_indices=True,
-                        mode="promise_in_bounds")
+                if skip_write or vector_pos:
+                    pass                  # vector form: grouped write below
                 else:
                     self_ks = jax.lax.dynamic_update_slice(
                         self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
@@ -516,13 +509,17 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
             if skip_write:
                 pass
             elif vector_pos:
-                rows = jnp.arange(b)
-                self_k = self_k.at[li, rows, :, :, position].set(
-                    k_col[:, :, :, 0], unique_indices=True,
-                    mode="promise_in_bounds")
-                self_v = self_v.at[li, rows, :, :, position].set(
-                    v_col[:, :, :, 0], unique_indices=True,
-                    mode="promise_in_bounds")
+                # per-row single-column writes (the assisted draft chain
+                # at batch > 1) — strategy-dispatched like the S-column
+                # verify-block writes (ops/ring_scatter.py)
+                pairs = [(self_k, k_col), (self_v, v_col)]
+                if self_quant:
+                    pairs += [(self_ks, k_sc[:, :, 0, :]),
+                              (self_vs, v_sc[:, :, 0, :])]
+                written = write_block_columns_group(pairs, li, position)
+                self_k, self_v = written[0], written[1]
+                if self_quant:
+                    self_ks, self_vs = written[2], written[3]
             else:
                 self_k = jax.lax.dynamic_update_slice(
                     self_k, k_col[None], (li, 0, 0, 0, position))
@@ -747,15 +744,7 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
                                     self_qmax, self_k.dtype)
             v_blk, v_sc = _quantize(v_blk.astype(jnp.float32), -2,
                                     self_qmax, self_v.dtype)
-            if vector_pos:
-                rows = jnp.arange(b)[:, None]
-                self_ks = self_ks.at[li, rows, :, pos_vec].set(
-                    jnp.swapaxes(k_sc[:, :, 0, :], 1, 2),   # [B, S, H]
-                    unique_indices=True, mode="promise_in_bounds")
-                self_vs = self_vs.at[li, rows, :, pos_vec].set(
-                    jnp.swapaxes(v_sc[:, :, 0, :], 1, 2),
-                    unique_indices=True, mode="promise_in_bounds")
-            else:
+            if not vector_pos:
                 self_ks = jax.lax.dynamic_update_slice(
                     self_ks, k_sc[None, :, :, 0, :], (li, 0, 0, position))
                 self_vs = jax.lax.dynamic_update_slice(
@@ -764,14 +753,17 @@ def decode_step_multi(params: Params, arch: WhisperArch, tokens: jax.Array,
             k_blk = k_blk.astype(dtype)
             v_blk = v_blk.astype(dtype)
         if vector_pos:
-            rows = jnp.arange(b)[:, None]
-            # k_blk [B, H, Dh, S] -> scatter rows of [B, S, H, Dh]
-            self_k = self_k.at[li, rows, :, :, pos_vec].set(
-                jnp.transpose(k_blk, (0, 3, 1, 2)),
-                unique_indices=True, mode="promise_in_bounds")
-            self_v = self_v.at[li, rows, :, :, pos_vec].set(
-                jnp.transpose(v_blk, (0, 3, 1, 2)),
-                unique_indices=True, mode="promise_in_bounds")
+            # per-row contiguous S-column writes (batched speculation) —
+            # strategy-dispatched: XLA scatter / per-row DUS / Pallas DMA
+            # (ops/ring_scatter.py, CW_RING_SCATTER env)
+            pairs = [(self_k, k_blk), (self_v, v_blk)]
+            if self_quant:
+                pairs += [(self_ks, k_sc[:, :, 0, :]),
+                          (self_vs, v_sc[:, :, 0, :])]
+            written = write_block_columns_group(pairs, li, position)
+            self_k, self_v = written[0], written[1]
+            if self_quant:
+                self_ks, self_vs = written[2], written[3]
         else:
             self_k = jax.lax.dynamic_update_slice(
                 self_k, k_blk[None], (li, 0, 0, 0, position))

@@ -57,6 +57,18 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e9          # matches decode_step's mask constant
 
 
+def _auto_interpret() -> bool:
+    """Mosaic on a real TPU backend, interpret elsewhere. The axon
+    backend reports platform "axon" (canonicalized to "tpu" only for
+    MLIR lowering), so `jax.default_backend() != "tpu"` would silently
+    interpret-run on the real chip — gate on the device platform like
+    ops/fused_attention.supports_pallas."""
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:                                 # pragma: no cover
+        return True
+
+
 def _pick_tiles(k: int, n: int, elem_bytes: float, target: int) -> int:
     """Number of K-tiles for a [k, n] weight so each tile is <= target
     bytes. Tile rows must stay a multiple of 128 when k divides into
@@ -758,7 +770,7 @@ def decode_step_b1(params: Any, arch, tokens, position, cache,
     interpret=None auto-selects: Mosaic on TPU, interpret mode on the
     CPU backend (tests / multichip dryrun)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = _auto_interpret()
     dec = params["decoder"]
     position = jnp.asarray(position, jnp.int32)
     x0 = (dec["tok_emb"][tokens].astype(jnp.float32)
@@ -809,7 +821,7 @@ def decode_step_b1_multi(params: Any, arch, tokens, position, cache,
     cache reads over the window, the kernel removes the per-op weight
     -stream bubbles of the scanned XLA block step."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = _auto_interpret()
     dec = params["decoder"]
     position = jnp.asarray(position, jnp.int32)
     s = tokens.shape[1]
@@ -927,7 +939,7 @@ def _decode_step_rowwise(params: Any, arch, tokens, position, cache,
                          align_sel, align_dtype, interpret, *,
                          rows: bool):
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = _auto_interpret()
     dec = params["decoder"]
     position = jnp.asarray(position, jnp.int32)
     r = tokens.shape[0]

@@ -59,4 +59,16 @@ say "4. acceptance sweep with kernel (B=1) + self-draft mechanism cost"
 timeout 2400 env B1K=1 SELF_DRAFT=8 python scripts/spec_accept_bench.py 1 \
   >> "$LOG" 2>&1 || say "sweep rc=$?"
 
+say "5a. ring-write strategies in isolation (large-v3 geometry)"
+timeout 1800 python experiments/ring_scatter_designs.py >> "$LOG" 2>&1 \
+  || say "ring designs rc=$?"
+
+say "5b. batched speculation B=64 by ring-write strategy (in context)"
+for m in scatter dus dma; do
+  say "   strategy=$m"
+  timeout 1800 env CW_RING_SCATTER=$m ACCEPT=1.0,0.5 ITERS=2 \
+    python scripts/spec_accept_bench.py 64 >> "$LOG" 2>&1 \
+    || say "spec B=64 $m rc=$?"
+done
+
 say "capture done — log at $LOG"
