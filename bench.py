@@ -34,9 +34,12 @@ Env knobs: BENCH_BATCH, BENCH_TOKEN_ROWS ("128,192,256"), BENCH_ITERS,
 BENCH_KV ("int8"|"int4"|"bf16"), BENCH_SELF_KV ("int8"|"int4"|"bf16"),
 BENCH_W ("int8"|"int4" group-wise nibble-packed|"bf16"; int4 runs on the
 TPU backend since the uint8 nibble-packed layout — models/quantize.py),
-BENCH_B1 / BENCH_SPEC / BENCH_BEAM / BENCH_ROWS ("0" to skip the
-batch-1 / prompt-lookup / beam-5 / batch-8 rows), BENCH_HEADLINE
-(headline token budget override for smokes).
+BENCH_B1 / BENCH_SPEC / BENCH_BEAM / BENCH_ROWS / BENCH_SPEC_B64 ("0"
+to skip the batch-1 / prompt-lookup / beam-5 / batch-8 / batched-
+speculation rows), BENCH_HEADLINE (headline token budget override for
+smokes), CW_RING_SCATTER (ring-write strategy for the batched
+speculation row — ops/ring_scatter.py), PLATFORM (force a jax
+platform; the axon plugin overrides JAX_PLATFORMS).
 """
 
 import json
@@ -342,6 +345,39 @@ def main():
                                         if plain_s else None)}
         rows.append(row)
         print(f"# row: {json.dumps(row)}", flush=True)
+
+        # batched prompt-lookup speculation (full device batch): the
+        # round-3 state depends on the ring-write strategy
+        # (CW_RING_SCATTER, ops/ring_scatter.py) — this row records the
+        # current configuration's speedup vs plain batched greedy.
+        if os.environ.get("BENCH_SPEC_B64", "1") != "0":
+            try:
+                materialize(run_device(params, audio, n_tokens,
+                                       assistant=True))
+                t0 = time.perf_counter()
+                for _ in range(ITERS):
+                    materialize(run_device(params, audio, n_tokens,
+                                           assistant=True))
+                sb_s = (time.perf_counter() - t0) / ITERS
+                plain_b = next(
+                    (audio.shape[0] * feat_cfg.chunk_length
+                     / r["rtfx_device"] for r in rows
+                     if r.get("tokens_per_chunk") == n_tokens
+                     and "rtfx_device" in r and "mode" not in r), None)
+                row = {"mode": "prompt_lookup_spec_batched",
+                       "batch": BATCH, "tokens_per_chunk": n_tokens,
+                       "spec_len": 5,
+                       "ring_scatter": os.environ.get("CW_RING_SCATTER",
+                                                      "scatter"),
+                       "device_s": round(sb_s, 3),
+                       "speedup_vs_greedy_batched":
+                           (round(plain_b / sb_s, 2) if plain_b
+                            else None)}
+                rows.append(row)
+                print(f"# row: {json.dumps(row)}", flush=True)
+            except Exception as e:                # pragma: no cover
+                print(f"# spec-batched row skipped: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
 
         # compound: prompt-lookup speculation with the B=1 kernel doing
         # the verify blocks (the two single-stream levers together)
