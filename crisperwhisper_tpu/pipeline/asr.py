@@ -185,8 +185,18 @@ class ASRPipeline:
         for start in range(0, len(chunks), bs):
             group = chunks[start:start + bs]
             # pad the tail group to the full static batch (dummy rows are
-            # dropped below) — ONE compiled program serves every group
-            gb = bs if len(chunks) > bs else len(group)
+            # dropped below) — ONE compiled program serves every group.
+            # A single short group (len(chunks) <= bs: short files, the
+            # serving batcher at low load) rounds up to the next POWER OF
+            # 2 instead of running at its exact size: every distinct
+            # batch is its own XLA program (a fresh multi-minute compile
+            # on the axon backend), so this bounds the compiled-size set
+            # to log2(bs) programs — and 2/4/8-row programs ride the
+            # fused small-batch decode kernel when it is enabled.
+            if len(chunks) > bs:
+                gb = bs
+            else:
+                gb = min(1 << max(len(group) - 1, 0).bit_length(), bs)
             if self.mesh is not None:
                 # batch dim is sharded over "data": round up so every
                 # device gets equal rows

@@ -165,3 +165,34 @@ def test_pipeline_adjust_pauses_end_to_end(our_pipe):
     # pause redistribution never re-orders or renames words
     assert [c["text"] for c in plain["chunks"]] == \
         [c["text"] for c in adjusted["chunks"]]
+
+
+def test_pipeline_single_group_pow2_padding(hf_pipe, vocab_dir):
+    """A single short group (len(chunks) <= batch_size: short files, the
+    serving batcher at low load) pads to the next POWER-OF-2 batch so
+    the compiled-program set stays bounded (and the small-batch decode
+    kernel sees its 2/4/8 shapes). Dummy rows must not change output:
+    batch_size=8 (single padded group) == batch_size=2 (exact groups)."""
+    tm, _ = hf_pipe
+    params = params_from_state_dict(state_dict_numpy(tm), tiny_arch(),
+                                    dtype=jnp.float32)
+    tok = our_tokenizer(vocab_dir)
+    gen_opts = GenerationOptions(
+        alignment_heads=ALIGN_HEADS, median_filter_width=7,
+        max_initial_timestamp_index=50, compression_ratio_threshold=None,
+        logprob_threshold=None, no_speech_threshold=None,
+        temperatures=(0.0,), max_new_tokens=32)
+    feat_cfg = FeatureConfig(feature_size=80, chunk_length=CHUNK_S)
+
+    def make(bs):
+        return ASRPipeline(
+            params, tiny_arch(), tok, specials=TINY_SPECIALS,
+            gen_opts=gen_opts, feat_cfg=feat_cfg,
+            pipe_opts=PipelineOptions(chunk_length_s=CHUNK_S,
+                                      batch_size=bs,
+                                      return_timestamps="word"))
+
+    audio = {"raw": _audio(12.3, seed=3), "sampling_rate": 16000}
+    ref = make(2)(audio, return_timestamps="word")     # multi-group path
+    got = make(8)(audio, return_timestamps="word")     # padded single group
+    _compare_outputs(ref, got)
