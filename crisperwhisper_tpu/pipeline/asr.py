@@ -104,6 +104,27 @@ class ASRPipeline:
         self.detect_language = False
 
     # ------------------------------------------------------------------
+    def warmup(self, return_timestamps: str | bool = "word") -> list[int]:
+        """Precompile every chunked-path program the pipeline can emit —
+        the power-of-2 batch sizes up to batch_size (the _run_chunks
+        grouping contract) — so serving never pays an XLA compile
+        mid-request: a fresh batch size is a multi-minute remote compile
+        on the axon backend. Returns the warmed batch sizes."""
+        bs = self.pipe_opts.batch_size
+        n_samples = int(round(self.pipe_opts.chunk_length_s
+                              * self.feat_cfg.sampling_rate))
+        sizes, s = [], 1
+        while s < bs:
+            sizes.append(s)
+            s <<= 1
+        sizes.append(bs)
+        zeros = np.zeros((n_samples,), np.float32)
+        for s in sizes:
+            chunks = [Chunk(0, zeros, (n_samples, 0, 0), i == s - 1)
+                      for i in range(s)]
+            self._run_chunks(chunks, n_samples, return_timestamps)
+        return sizes
+
     def __call__(self, inputs: Any, return_timestamps: str | bool | None
                  = None, adjust_pauses_threshold: float | None = None,
                  return_language: bool = False):

@@ -62,9 +62,15 @@ class StreamingBatcher:
     """Cross-stream chunk batcher over one ASRPipeline."""
 
     def __init__(self, pipeline: ASRPipeline,
-                 max_batch_delay_s: float = 0.05):
+                 max_batch_delay_s: float = 0.05,
+                 warmup: bool = False):
         self.pipeline = pipeline
         self.max_batch_delay_s = max_batch_delay_s
+        if warmup:
+            # precompile every power-of-2 batch program BEFORE accepting
+            # traffic — otherwise the first request at each new queue
+            # depth pays a multi-minute axon compile mid-stream
+            pipeline.warmup()
         self._queue: queue.Queue = queue.Queue()
         self._requests: dict[int, _Request] = {}
         self._lock = threading.Lock()

@@ -253,3 +253,15 @@ def test_pipeline_rows_kernel_small_batch(ckpt_dir, wav_path, monkeypatch):
     assert len(out["chunks"]) > 0
     for c in out["chunks"]:
         assert c["timestamp"][0] is not None
+
+
+def test_pipeline_warmup_precompiles_pow2_sizes(pipe, wav_path):
+    """warmup() must compile every power-of-2 chunk-batch program up to
+    batch_size (the serving batcher's precompile hook) and leave the
+    pipeline's outputs unchanged."""
+    sizes = pipe.warmup()
+    bs = pipe.pipe_opts.batch_size
+    assert sizes[-1] == bs
+    assert sizes[:-1] == [1 << i for i in range(len(sizes) - 1)]
+    out = pipe(wav_path, return_timestamps="word")
+    assert isinstance(out["text"], str) and len(out["chunks"]) > 0
