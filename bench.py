@@ -38,8 +38,10 @@ BENCH_B1 / BENCH_SPEC / BENCH_BEAM / BENCH_ROWS / BENCH_SPEC_B64 ("0"
 to skip the batch-1 / prompt-lookup / beam-5 / batch-8 / batched-
 speculation rows), BENCH_HEADLINE (headline token budget override for
 smokes), CW_RING_SCATTER (ring-write strategy for the batched
-speculation row — ops/ring_scatter.py), PLATFORM (force a jax
-platform; the axon plugin overrides JAX_PLATFORMS).
+speculation row — ops/ring_scatter.py), BENCH_STAGED (staged
+ring-growth quantum, default 128 on TPU, "0" = single full-width
+loop), PLATFORM (force a jax platform; the axon plugin overrides
+JAX_PLATFORMS).
 """
 
 import json
@@ -110,7 +112,12 @@ def main():
     align_sel = jnp.asarray(alignment_selector(arch, heads))
     # force fixed-length decode: suppress eot so no row finishes early
     suppress = jnp.asarray(suppress_tokens_mask(arch.vocab_size, (sp.eot,)))
-    opts = GenerationOptions(max_initial_timestamp_index=50)
+    # staged ring growth (BIT-IDENTICAL read-volume optimization — the
+    # greedy loop runs over 128-slot ring-width stages; BENCH_STAGED=0
+    # restores the single full-width loop for A/B)
+    staged = int(os.environ.get("BENCH_STAGED", "128" if on_tpu else "0"))
+    opts = GenerationOptions(max_initial_timestamp_index=50,
+                             staged_ring_quantum=staged)
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal(

@@ -219,6 +219,20 @@ class GenerationOptions:
     #                                 tested; engages only in the gated
     #                                 int8-weight/int8-self-ring config
     #                                 at batch 1, greedy/sampling.
+    staged_ring_quantum: int = 0    # staged ring growth (greedy/sampling
+    #                                 XLA loop): > 0 runs the decode loop
+    #                                 in ring-width stages of this many
+    #                                 slots (use 128 = one lane tile), so
+    #                                 the self-attention read scales with
+    #                                 the LIVE prefix instead of the full
+    #                                 allocated ring (~1/3 of the
+    #                                 dominant batched self-ring read at
+    #                                 the 192-token budget). Padded ring
+    #                                 slots contribute exact zeros to the
+    #                                 tree reductions, so outputs are
+    #                                 expected bit-identical (pinned by
+    #                                 tests/test_staged_ring.py); 0 = off
+    #                                 (single full-width loop).
 
 
 @dataclass(frozen=True)

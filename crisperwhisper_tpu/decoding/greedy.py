@@ -267,7 +267,55 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                       sum_logprobs=sum_logprobs,
                       no_speech=no_speech, align_buf=align_buf, key=key)
 
-    final = jax.lax.while_loop(cond, body, carry)
+    # ---- staged ring growth (opts.staged_ring_quantum > 0) ----
+    # The self-attention read costs the ALLOCATED ring width every step,
+    # but only slots <= t are live. Run the SAME body over progressively
+    # wider ring views (multiples of the quantum), zero-padding the rings
+    # between stages: each stage is its own while_loop trace, so the
+    # early steps read a fraction of the ring. Padded slots contribute
+    # exact zeros to the reductions (scores masked to -1e9 -> exp == 0.0,
+    # zero-block subtree sums), so outputs are bit-identical to the
+    # single full-width loop (tests/test_staged_ring.py). Gated off
+    # under key_mask (its width is the full ring) and the fused kernels
+    # (they take the whole ring).
+    quantum = getattr(opts, "staged_ring_quantum", 0)
+    ring_len = cache.self_k.shape[-1]
+    use_staged = (quantum > 0 and key_mask is None
+                  and not use_b1_kernel and not use_rows_kernel
+                  and ring_len > quantum)
+    if not use_staged:
+        final = jax.lax.while_loop(cond, body, carry)
+    else:
+        # first stage must hold every prefill column (slots < p) and the
+        # initial write at t_start
+        widths = [w for w in range(quantum, ring_len, quantum)
+                  if w > t_start] + [ring_len]
+
+        def ring_view(x, w):
+            return None if x is None else x[..., :w]
+
+        def ring_pad(x, w_to):
+            if x is None:
+                return None
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, w_to - x.shape[-1])]
+            return jnp.pad(x, pad)
+
+        final = carry._replace(
+            self_k=ring_view(carry.self_k, widths[0]),
+            self_v=ring_view(carry.self_v, widths[0]),
+            self_ks=ring_view(carry.self_ks, widths[0]),
+            self_vs=ring_view(carry.self_vs, widths[0]))
+        for i, w in enumerate(widths):
+            if i > 0:
+                final = final._replace(
+                    self_k=ring_pad(final.self_k, w),
+                    self_v=ring_pad(final.self_v, w),
+                    self_ks=ring_pad(final.self_ks, w),
+                    self_vs=ring_pad(final.self_vs, w))
+            stage_cond = (lambda c, _w=w:
+                          (c.t < min(_w, t_total - 1)) & cond(c))
+            final = jax.lax.while_loop(stage_cond, body, final)
+
     return DecodeResult(
         sequences=final.tokens,
         num_generated=final.state.num_generated,

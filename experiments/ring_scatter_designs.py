@@ -31,6 +31,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("PLATFORM"):    # the axon plugin overrides JAX_PLATFORMS;
+    jax.config.update("jax_platforms", os.environ["PLATFORM"])  # this wins
+
 import jax.numpy as jnp
 
 from crisperwhisper_tpu.ops.ring_scatter import write_block_columns_group

@@ -25,6 +25,8 @@ realistic cost, no id folding needed).
 
 Usage: python scripts/live_streams_bench.py [N_STREAMS] [DUR_S]
 (defaults 16 streams x 120 s; CPU fallback uses tiny geometry).
+Env: BENCH_STREAM_BATCH (device batch, default 16), B1K=1 to route the
+small-batch tail programs through the fused decode kernel.
 """
 
 import json
@@ -37,6 +39,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("PLATFORM"):    # the axon plugin overrides JAX_PLATFORMS;
+    jax.config.update("jax_platforms", os.environ["PLATFORM"])  # this wins
+
 import jax.numpy as jnp
 
 from crisperwhisper_tpu.config import (FeatureConfig, GenerationOptions,
@@ -74,7 +80,10 @@ def build_pipeline(on_tpu: bool, batch_size: int) -> ASRPipeline:
         suppress_tokens=suppress, temperatures=(0.0,),
         compression_ratio_threshold=None, logprob_threshold=None,
         no_speech_threshold=None, max_initial_timestamp_index=50,
-        language="en", kv_cache_int4=on_tpu, self_kv_cache_int8=on_tpu)
+        language="en", kv_cache_int4=on_tpu, self_kv_cache_int8=on_tpu,
+        # B1K=1: small-batch tail programs (2..8 rows) ride the fused
+        # whole-step decode kernel (ops/pallas_decode_b1)
+        b1_decode_kernel=os.environ.get("B1K", "0") == "1")
     feat_cfg = FeatureConfig(feature_size=arch.num_mel_bins)
     return ASRPipeline(
         params, arch, synthetic_standard_tokenizer(sp), specials=sp,
@@ -120,7 +129,9 @@ def main():
     seq_wall = time.perf_counter() - t0
 
     # ---- burst of N concurrent streams through the batcher ------------
-    batcher = StreamingBatcher(pipe)
+    batcher = StreamingBatcher(pipe, warmup=True)   # all pow2 programs
+    print(f"# warmup(all pow2): done at {time.perf_counter() - t0:.1f} s",
+          flush=True)
     try:
         t0 = time.perf_counter()
         handles = [batcher.submit(x, return_timestamps="word")

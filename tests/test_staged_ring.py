@@ -1,0 +1,105 @@
+"""Staged ring growth (GenerationOptions.staged_ring_quantum).
+
+The greedy/sampling decode loop can run in ring-width stages so the
+self-attention read scales with the live prefix instead of the full
+allocated ring. Padded ring slots contribute exact zeros to every
+reduction (masked scores -> exp == 0.0; zero-block subtrees), so the
+staged loop must be BIT-IDENTICAL to the single full-width loop — not
+a numerics option, pure read-volume optimization.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crisperwhisper_tpu.config import GenerationOptions
+from crisperwhisper_tpu.decoding.greedy import greedy_decode_jit
+from crisperwhisper_tpu.models import alignment_selector, encode, init_params
+from helpers import TINY_SPECIALS, rand_mel, tiny_arch
+
+
+def _setup():
+    arch = tiny_arch()
+    params = init_params(arch, jax.random.PRNGKey(0))
+    enc = encode(params, arch, jnp.asarray(rand_mel(batch=2, seed=4)))
+    sel = jnp.asarray(alignment_selector(arch, ((0, 1), (1, 2))))
+    return arch, params, enc, sel
+
+
+@pytest.mark.parametrize("self_dtype", [None, jnp.int8])
+@pytest.mark.parametrize("p", [1, 3])
+def test_staged_ring_bitwise_equals_plain(self_dtype, p):
+    arch, params, enc, sel = _setup()
+    prompt = jnp.concatenate(
+        [jnp.full((2, 1), TINY_SPECIALS.sot, jnp.int32)]
+        + [jnp.full((2, 1), TINY_SPECIALS.no_timestamps, jnp.int32)] * (p - 1),
+        axis=1)
+    base = dict(max_initial_timestamp_index=50)
+    kw = dict(align_sel=sel, cross_cache_dtype=jnp.int8,
+              self_cache_dtype=self_dtype)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS,
+                            GenerationOptions(**base), enc, prompt, 20,
+                            **kw)
+    got = greedy_decode_jit(params, arch, TINY_SPECIALS,
+                            GenerationOptions(**base,
+                                              staged_ring_quantum=8),
+                            enc, prompt, 20, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.sequences),
+                                  np.asarray(got.sequences))
+    np.testing.assert_array_equal(np.asarray(ref.num_generated),
+                                  np.asarray(got.num_generated))
+    np.testing.assert_array_equal(np.asarray(ref.align_probs),
+                                  np.asarray(got.align_probs))
+    np.testing.assert_array_equal(np.asarray(ref.sum_logprobs),
+                                  np.asarray(got.sum_logprobs))
+    np.testing.assert_array_equal(np.asarray(ref.no_speech_probs),
+                                  np.asarray(got.no_speech_probs))
+
+
+def test_staged_ring_sampling_bitwise():
+    """Temperature sampling consumes the SAME rng stream per step, so the
+    staged loop must reproduce sampled sequences bitwise too."""
+    arch, params, enc, sel = _setup()
+    prompt = jnp.full((2, 1), TINY_SPECIALS.sot, jnp.int32)
+    base = dict(max_initial_timestamp_index=50, temperatures=(0.8,))
+    kw = dict(align_sel=sel, temperature=0.8,
+              rng=jax.random.PRNGKey(11), cross_cache_dtype=jnp.int8,
+              self_cache_dtype=jnp.int8)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS,
+                            GenerationOptions(**base), enc, prompt, 18,
+                            **kw)
+    got = greedy_decode_jit(params, arch, TINY_SPECIALS,
+                            GenerationOptions(**base,
+                                              staged_ring_quantum=8),
+                            enc, prompt, 18, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.sequences),
+                                  np.asarray(got.sequences))
+
+
+def test_staged_ring_noop_when_mask_or_small():
+    """The staged path must not engage (identical programs/output) when a
+    key_mask is present or the ring fits one quantum."""
+    arch, params, enc, sel = _setup()
+    prompt = jnp.full((2, 3), TINY_SPECIALS.sot, jnp.int32)
+    mask = jnp.asarray([[False, True, True], [True, True, True]])
+    base = dict(max_initial_timestamp_index=50)
+    kw = dict(align_sel=sel, prompt_mask=mask)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS,
+                            GenerationOptions(**base), enc, prompt, 12,
+                            **kw)
+    got = greedy_decode_jit(params, arch, TINY_SPECIALS,
+                            GenerationOptions(**base,
+                                              staged_ring_quantum=8),
+                            enc, prompt, 12, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.sequences),
+                                  np.asarray(got.sequences))
+    big_q = GenerationOptions(**base, staged_ring_quantum=512)
+    got2 = greedy_decode_jit(params, arch, TINY_SPECIALS, big_q, enc,
+                             prompt[:, :1], 12, align_sel=sel)
+    ref2 = greedy_decode_jit(params, arch, TINY_SPECIALS,
+                             GenerationOptions(**base), enc,
+                             prompt[:, :1], 12, align_sel=sel)
+    np.testing.assert_array_equal(np.asarray(ref2.sequences),
+                                  np.asarray(got2.sequences))
