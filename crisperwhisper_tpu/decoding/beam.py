@@ -376,7 +376,43 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                       fin_count=fin_count, fin_align=fin_align,
                       no_speech=no_speech, align_buf=albuf, done=done)
 
-    final = jax.lax.while_loop(cond, body, carry)
+    # staged ring growth (opts.staged_ring_quantum, see greedy.py): the
+    # per-BEAM rings make the self read NB x greedy's, so capping the
+    # ring view at the live prefix pays even more here. Bit-identical
+    # (padded slots reduce as exact zeros); same gates as greedy.
+    quantum = getattr(opts, "staged_ring_quantum", 0)
+    ring_len = self_k0.shape[-1]
+    use_staged = (quantum > 0 and key_mask is None
+                  and not use_bR_kernel and ring_len > quantum)
+    if not use_staged:
+        final = jax.lax.while_loop(cond, body, carry)
+    else:
+        widths = [w for w in range(quantum, ring_len, quantum)
+                  if w > t_start] + [ring_len]
+
+        def ring_view(x, w):
+            return None if x is None else x[..., :w]
+
+        def ring_pad(x, w_to):
+            if x is None:
+                return None
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, w_to - x.shape[-1])]
+            return jnp.pad(x, pad)
+
+        final = carry._replace(self_k=ring_view(carry.self_k, widths[0]),
+                               self_v=ring_view(carry.self_v, widths[0]),
+                               self_ks=ring_view(carry.self_ks, widths[0]),
+                               self_vs=ring_view(carry.self_vs, widths[0]))
+        for i, w in enumerate(widths):
+            if i > 0:
+                final = final._replace(
+                    self_k=ring_pad(final.self_k, w),
+                    self_v=ring_pad(final.self_v, w),
+                    self_ks=ring_pad(final.self_ks, w),
+                    self_vs=ring_pad(final.self_vs, w))
+            stage_cond = (lambda c, _w=w:
+                          (c.t < min(_w, t_total - 1)) & cond(c))
+            final = jax.lax.while_loop(stage_cond, body, final)
 
     # length-stopped: fold still-running beams into the candidate pool.
     # Reference semantics (BeamSearchScorer.finalize): for batches NOT

@@ -103,3 +103,32 @@ def test_staged_ring_noop_when_mask_or_small():
                              prompt[:, :1], 12, align_sel=sel)
     np.testing.assert_array_equal(np.asarray(ref2.sequences),
                                   np.asarray(got2.sequences))
+
+
+@pytest.mark.parametrize("self_dtype", [None, jnp.int8])
+def test_staged_ring_beam_bitwise(self_dtype):
+    """Beam search under staged ring growth must be bit-identical too
+    (per-beam rings make the self read NB x greedy's)."""
+    from crisperwhisper_tpu.decoding.beam import beam_decode_jit
+
+    arch, params, enc, sel = _setup()
+    prompt = jnp.concatenate(
+        [jnp.full((2, 1), TINY_SPECIALS.sot, jnp.int32),
+         jnp.full((2, 1), TINY_SPECIALS.no_timestamps, jnp.int32)], axis=1)
+    base = dict(max_initial_timestamp_index=50)
+    kw = dict(num_beams=3, align_sel=sel, return_timestamps=False,
+              cross_cache_dtype=jnp.int8, self_cache_dtype=self_dtype)
+    ref = beam_decode_jit(params, arch, TINY_SPECIALS,
+                          GenerationOptions(**base), enc, prompt, 18, **kw)
+    got = beam_decode_jit(params, arch, TINY_SPECIALS,
+                          GenerationOptions(**base,
+                                            staged_ring_quantum=8),
+                          enc, prompt, 18, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.sequences),
+                                  np.asarray(got.sequences))
+    np.testing.assert_array_equal(np.asarray(ref.sequences_scores),
+                                  np.asarray(got.sequences_scores))
+    np.testing.assert_array_equal(np.asarray(ref.align_probs),
+                                  np.asarray(got.align_probs))
+    np.testing.assert_array_equal(np.asarray(ref.num_generated),
+                                  np.asarray(got.num_generated))
