@@ -113,9 +113,10 @@ def main():
     # force fixed-length decode: suppress eot so no row finishes early
     suppress = jnp.asarray(suppress_tokens_mask(arch.vocab_size, (sp.eot,)))
     # staged ring growth (BIT-IDENTICAL read-volume optimization — the
-    # greedy loop runs over 128-slot ring-width stages; BENCH_STAGED=0
-    # restores the single full-width loop for A/B)
-    staged = int(os.environ.get("BENCH_STAGED", "128" if on_tpu else "0"))
+    # greedy loop runs over 128-slot ring-width stages; default OFF until
+    # the on-chip A/B lands — capture step 2b measures both ways; flip
+    # the default once the win is measured)
+    staged = int(os.environ.get("BENCH_STAGED", "0"))
     opts = GenerationOptions(max_initial_timestamp_index=50,
                              staged_ring_quantum=staged)
 

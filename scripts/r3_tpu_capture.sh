@@ -48,8 +48,8 @@ timeout 1800 env VARIANTS=xla_rows,kernel_rows NROWS=4 \
 say "2. full bench.py"
 timeout 3600 python bench.py >> "$LOG" 2>&1 || say "bench rc=$?"
 
-say "2b. bench.py headline A/B: staged ring growth OFF"
-timeout 2400 env BENCH_STAGED=0 BENCH_TOKEN_ROWS=192 BENCH_B1=0 \
+say "2b. bench.py headline A/B: staged ring growth ON (128)"
+timeout 2400 env BENCH_STAGED=128 BENCH_TOKEN_ROWS=192 BENCH_B1=0 \
   BENCH_SPEC=0 BENCH_BEAM=0 BENCH_ROWS=0 BENCH_SPEC_B64=0 \
   python bench.py >> "$LOG" 2>&1 || say "bench A/B rc=$?"
 
