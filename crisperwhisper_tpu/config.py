@@ -229,10 +229,14 @@ class GenerationOptions:
     #                                 dominant batched self-ring read at
     #                                 the 192-token budget). Padded ring
     #                                 slots contribute exact zeros to the
-    #                                 tree reductions, so outputs are
-    #                                 expected bit-identical (pinned by
+    #                                 tree reductions: greedy/beam are
+    #                                 bit-identical, assisted pins exact
+    #                                 sequences with alignment to
+    #                                 reduction-order ulp (pinned by
     #                                 tests/test_staged_ring.py); 0 = off
-    #                                 (single full-width loop).
+    #                                 (single full-width loop). Applies
+    #                                 to greedy/sampling, beam AND
+    #                                 assisted loops.
 
 
 @dataclass(frozen=True)

@@ -421,8 +421,52 @@ def assisted_decode(params: Any, arch: WhisperArch,
             align_buf0, cache.self_k, cache.self_v, cache.self_k_scale,
             cache.self_v_scale, draft_cache.self_k, draft_cache.self_v,
             *d_scales0)
+
+    # staged ring growth (opts.staged_ring_quantum, see greedy.py): the
+    # verify block's self read scales with the allocated ring; run the
+    # block loop over 128-slot ring views. A block writes rows at
+    # [lengths-1, lengths-1+s), so stage w admits rows while
+    # max(lengths) <= w - s + 1. Both the main rings and a REAL draft's
+    # rings (same allocated length) stage; [1]-shaped structural
+    # placeholders are excluded by shape. Bit-identical (padded slots
+    # reduce as exact zeros) — tests/test_staged_ring.py.
+    quantum = getattr(opts, "staged_ring_quantum", 0)
+    ring_len = cache.self_k.shape[-1]
+    use_staged = (quantum > 0 and key_mask is None
+                  and not use_b1_kernel and ring_len > quantum)
+    if not use_staged:
+        final = jax.lax.while_loop(cond, body, init)
+    else:
+        def _stageable(x):
+            return (x is not None and hasattr(x, "ndim") and x.ndim >= 4
+                    and x.shape[-1] == ring_len)
+        ring_idx = [i for i in range(7, 15) if _stageable(init[i])]
+        widths = [w for w in range(quantum, ring_len, quantum)
+                  if w >= p + s - 1] + [ring_len]
+
+        def ring_view(x, w):
+            return x[..., :w]
+
+        def ring_pad(x, w_to):
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, w_to - x.shape[-1])]
+            return jnp.pad(x, pad)
+
+        cur = list(init)
+        for idx in ring_idx:
+            cur[idx] = ring_view(cur[idx], widths[0])
+        final = tuple(cur)
+        for i, w in enumerate(widths):
+            if i > 0:
+                cur = list(final)
+                for idx in ring_idx:
+                    cur[idx] = ring_pad(cur[idx], w)
+                final = tuple(cur)
+            stage_cond = (lambda c, _w=w:
+                          (jnp.max(c[1]) <= _w - s + 1) & cond(c))
+            final = jax.lax.while_loop(stage_cond, body, final)
+
     (tokens, lengths, state, finished, sum_lp, no_speech, align_buf,
-     *_rest) = jax.lax.while_loop(cond, body, init)
+     *_rest) = final
 
     return DecodeResult(
         sequences=tokens[:, :t_total],

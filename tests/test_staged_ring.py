@@ -5,7 +5,10 @@ self-attention read scales with the live prefix instead of the full
 allocated ring. Padded ring slots contribute exact zeros to every
 reduction (masked scores -> exp == 0.0; zero-block subtrees), so the
 staged loop must be BIT-IDENTICAL to the single full-width loop — not
-a numerics option, pure read-volume optimization.
+a numerics option, pure read-volume optimization. (Assisted
+decoding's verify-block einsum reassociates width-axis partial
+sums on some backends: sequences stay exact, alignment agrees to
+reduction-order ulp.)
 """
 
 import numpy as np
@@ -132,3 +135,58 @@ def test_staged_ring_beam_bitwise(self_dtype):
                                   np.asarray(got.align_probs))
     np.testing.assert_array_equal(np.asarray(ref.num_generated),
                                   np.asarray(got.num_generated))
+
+
+@pytest.mark.parametrize("self_dtype", [None, jnp.int8])
+def test_staged_ring_assisted_bitwise(self_dtype):
+    """Assisted decoding (prompt-lookup, batched) under staged ring
+    growth: sequences, lengths and alignment must be bit-identical."""
+    from crisperwhisper_tpu.decoding.assisted import assisted_decode_jit
+
+    arch, params, enc, sel = _setup()
+    prompt = jnp.full((2, 1), TINY_SPECIALS.sot, jnp.int32)
+    base = dict(max_initial_timestamp_index=50)
+    kw = dict(suppress_mask=None, align_sel=sel,
+              cross_cache_dtype=jnp.int8, self_cache_dtype=self_dtype)
+    ref = assisted_decode_jit(params, arch, None, None, TINY_SPECIALS,
+                              GenerationOptions(**base), enc, None,
+                              prompt, 18, spec_len=3, **kw)
+    got = assisted_decode_jit(params, arch, None, None, TINY_SPECIALS,
+                              GenerationOptions(**base,
+                                                staged_ring_quantum=8),
+                              enc, None, prompt, 18, spec_len=3, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.sequences),
+                                  np.asarray(got.sequences))
+    np.testing.assert_array_equal(np.asarray(ref.num_generated),
+                                  np.asarray(got.num_generated))
+    # the verify block's width-axis einsum reassociates partial sums per
+    # matrix width on this backend (live terms identical, zero tail
+    # exact) -> alignment agrees to reduction-order ulp, sequences exact
+    np.testing.assert_allclose(np.asarray(got.align_probs),
+                               np.asarray(ref.align_probs), atol=1e-6)
+
+
+def test_staged_ring_assisted_self_draft_bitwise():
+    """A REAL draft (layer-truncated self-draft) stages its own rings
+    alongside the main model's; output stays bit-identical."""
+    from crisperwhisper_tpu.decoding.assisted import (assisted_decode_jit,
+                                                      make_self_draft)
+
+    arch, params, enc, sel = _setup()
+    draft_params, draft_arch = make_self_draft(params, arch, 1)
+    prompt = jnp.full((2, 1), TINY_SPECIALS.sot, jnp.int32)
+    base = dict(max_initial_timestamp_index=50)
+    kw = dict(align_sel=sel, cross_cache_dtype=jnp.int8,
+              self_cache_dtype=jnp.int8)
+    ref = assisted_decode_jit(params, arch, draft_params, draft_arch,
+                              TINY_SPECIALS, GenerationOptions(**base),
+                              enc, enc, prompt, 18, spec_len=3, **kw)
+    got = assisted_decode_jit(params, arch, draft_params, draft_arch,
+                              TINY_SPECIALS,
+                              GenerationOptions(**base,
+                                                staged_ring_quantum=8),
+                              enc, enc, prompt, 18, spec_len=3, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.sequences),
+                                  np.asarray(got.sequences))
+    np.testing.assert_allclose(np.asarray(got.align_probs),
+                               np.asarray(ref.align_probs), atol=1e-6)
