@@ -39,8 +39,8 @@ to skip the batch-1 / prompt-lookup / beam-5 / batch-8 / batched-
 speculation rows), BENCH_HEADLINE (headline token budget override for
 smokes), CW_RING_SCATTER (ring-write strategy for the batched
 speculation row — ops/ring_scatter.py), BENCH_STAGED (staged
-ring-growth quantum, default 128 on TPU, "0" = single full-width
-loop), PLATFORM (force a jax platform; the axon plugin overrides
+ring-growth quantum, default 128 — measured +4-5% on chip, "0" =
+single full-width loop), PLATFORM (force a jax platform; the axon plugin overrides
 JAX_PLATFORMS).
 """
 
@@ -113,10 +113,11 @@ def main():
     # force fixed-length decode: suppress eot so no row finishes early
     suppress = jnp.asarray(suppress_tokens_mask(arch.vocab_size, (sp.eot,)))
     # staged ring growth (BIT-IDENTICAL read-volume optimization — the
-    # greedy loop runs over 128-slot ring-width stages; default OFF until
-    # the on-chip A/B lands — capture step 2b measures both ways; flip
-    # the default once the win is measured)
-    staged = int(os.environ.get("BENCH_STAGED", "0"))
+    # greedy loop runs over 128-slot ring-width stages). Default ON at
+    # quantum 128 since the measured on-chip A/B win (round 3, large-v3
+    # B=64, 192 tokens: device RTFx 365.3 -> 382.4, e2e 360.1 -> 375.0;
+    # BENCH_STAGED=0 reproduces the single full-width loop)
+    staged = int(os.environ.get("BENCH_STAGED", "128"))
     opts = GenerationOptions(max_initial_timestamp_index=50,
                              staged_ring_quantum=staged)
 

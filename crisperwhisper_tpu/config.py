@@ -219,7 +219,7 @@ class GenerationOptions:
     #                                 tested; engages only in the gated
     #                                 int8-weight/int8-self-ring config
     #                                 at batch 1, greedy/sampling.
-    staged_ring_quantum: int = 0    # staged ring growth (greedy/sampling
+    staged_ring_quantum: int = 128  # staged ring growth (greedy/sampling
     #                                 XLA loop): > 0 runs the decode loop
     #                                 in ring-width stages of this many
     #                                 slots (use 128 = one lane tile), so
@@ -236,7 +236,11 @@ class GenerationOptions:
     #                                 tests/test_staged_ring.py); 0 = off
     #                                 (single full-width loop). Applies
     #                                 to greedy/sampling, beam AND
-    #                                 assisted loops.
+    #                                 assisted loops. Default 128 since
+    #                                 the measured on-chip win (round-3
+    #                                 A/B, large-v3 B=64, 192 tokens:
+    #                                 device RTFx 365.3 -> 382.4, e2e
+    #                                 360.1 -> 375.0).
 
 
 @dataclass(frozen=True)
