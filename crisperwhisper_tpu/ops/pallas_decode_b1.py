@@ -57,6 +57,23 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e9          # matches decode_step's mask constant
 
 
+def _gelu_erf(x):
+    """Exact-erf GELU via Abramowitz & Stegun 7.1.26 (|erf err| <=
+    1.5e-7, ~1 f32 ulp). Mosaic has no erf/erfc lowering (verified
+    round 4: `jax.nn.gelu(approximate=False)` -> erfc ->
+    NotImplementedError), so the kernel computes erf from exp — well
+    inside this kernel's tolerance-band numerics contract (module
+    docstring: f32-vs-bf16 residual stream is a larger deviation)."""
+    z = x * 0.7071067811865476          # x / sqrt(2)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    erf_az = 1.0 - poly * jnp.exp(-az * az)
+    erf_z = jnp.where(z < 0.0, -erf_az, erf_az)
+    return 0.5 * x * (1.0 + erf_z)
+
+
 def _auto_interpret() -> bool:
     """Mosaic on a real TPU backend, interpret elsewhere. The axon
     backend reports platform "axon" (canonicalized to "tpu" only for
@@ -304,8 +321,12 @@ def _kernel(pos_ref,                                     # scalar prefetch
                         slice(off, off + w))]
             if vq.dtype == jnp.int4:
                 vq = vq.astype(jnp.int8)
-            out += jnp.sum(p[:, None, off:off + w]
-                           * vq.astype(jnp.float32), axis=2)
+            # NB: p[:, None, off:off+w] (newaxis mixed with a PARTIAL
+            # slice) lowers via lax.gather, which Mosaic rejects — the
+            # round-3 "Shape mismatch in input, indices and output"
+            # failure. Slice first, then expand.
+            pw = jnp.expand_dims(p[:, off:off + w], 1)    # [h, 1, w]
+            out += jnp.sum(pw * vq.astype(jnp.float32), axis=2)
         return out
 
     if not beams:
@@ -500,7 +521,7 @@ def _kernel(pos_ref,                                     # scalar prefetch
     def _finish_m1():
         hmid = (acc[:, :f] * m1_s_ref[0, 0, :][None, :]
                 + m1_b_ref[0, 0, :][None, :])
-        y[:, :f] = jax.nn.gelu(hmid, approximate=False)  # [1, f]
+        y[:, :f] = _gelu_erf(hmid)                       # [1, f]
         acc[...] = jnp.zeros_like(acc)
 
     @pl.when(s == c.s_m2 + c.n_m2 - 1)
@@ -644,12 +665,22 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
     )(jnp.asarray(pos, jnp.int32).reshape(1), *operands)
 
 
+def _mosaic_aligned(arch) -> bool:
+    """Mosaic's machine-code pass requires the dynamic-lane GEMV tile
+    offsets to be 128-aligned (verified round 4: tiny d=64 lowers but
+    fails the vector.load legalization on chip; large-v3 d=1280 runs).
+    In interpret mode (CPU tests) there is no such constraint."""
+    return ((arch.d_model % 128 == 0 and arch.decoder_ffn_dim % 128 == 0)
+            or _auto_interpret())
+
+
 def supported(params: Any, arch, cache, key_mask, beam_groups: int,
               position, tokens) -> bool:
     """The gated configuration this kernel implements."""
     dec = params["decoder"]
     lay = dec["layers"]
-    return (tokens.shape[0] == 1
+    return (_mosaic_aligned(arch)
+            and tokens.shape[0] == 1
             and jnp.asarray(position).ndim == 0
             and key_mask is None
             and beam_groups == 1
@@ -866,7 +897,8 @@ def supported_beams(params: Any, arch, cache, key_mask, position,
     cache. R is capped at 8 to bound the R-phase self band's VMEM."""
     dec = params["decoder"]
     lay = dec["layers"]
-    return (tokens.ndim == 1 and 1 < tokens.shape[0] <= 8
+    return (_mosaic_aligned(arch)
+            and tokens.ndim == 1 and 1 < tokens.shape[0] <= 8
             and jnp.asarray(position).ndim == 0
             and key_mask is None
             and "qkv" in lay["self"] and "w_q" in lay["self"]["qkv"]
@@ -889,7 +921,8 @@ def supported_rows(params: Any, arch, cache, key_mask, position,
     probability band's VMEM."""
     dec = params["decoder"]
     lay = dec["layers"]
-    return (tokens.ndim == 1 and 1 < tokens.shape[0] <= 8
+    return (_mosaic_aligned(arch)
+            and tokens.ndim == 1 and 1 < tokens.shape[0] <= 8
             and jnp.asarray(position).ndim == 0
             and key_mask is None
             and "qkv" in lay["self"] and "w_q" in lay["self"]["qkv"]

@@ -99,6 +99,11 @@ class ASRPipeline:
                     f"of the mesh data axis ({data})")
         from ..utils.tracing import RTFMeter
         self.meter = RTFMeter()
+        # persistent XLA compile cache: makes the SECOND process's
+        # warmup ~free (each power-of-2 batch program otherwise pays a
+        # multi-minute axon compile per process — see warmup()).
+        from ..utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache(tpu_only=True)
         # auto language detection for multilingual checkpoints when no
         # language is pinned (hf _retrieve_init_tokens :1560-1590)
         self.detect_language = False
