@@ -77,10 +77,35 @@ def test_wer_counts():
 def test_wer_with_normalizer():
     from crisperwhisper_tpu.tokenizer.normalizers import \
         EnglishTextNormalizer
-    norm = EnglishTextNormalizer()
+    norm = EnglishTextNormalizer({})
     r = word_error_rate("It's twenty-two, okay?", "it is 22 okay",
                         normalizer=norm)
     assert r.wer == 0.0, r
+
+
+def test_normalizer_without_spelling_map_fails_loudly():
+    """Parity with HF: a missing normalizer.json must FAIL at the
+    spelling step, not silently skip (VERDICT r3 item 8 — silent skip
+    skews WER). HF's EnglishTextNormalizer(None) raises AttributeError
+    at the same point; `{}` is the explicit opt-out."""
+    import pytest
+    from crisperwhisper_tpu.tokenizer.normalizers import \
+        EnglishTextNormalizer
+    norm = EnglishTextNormalizer()          # no mapping supplied
+    with pytest.raises(ValueError, match="normalizer.json"):
+        norm("the colour of humour")
+    # HF raises too (pin that the reference behaves the same)
+    from transformers.models.whisper.english_normalizer import \
+        EnglishTextNormalizer as HFNorm
+    with pytest.raises(AttributeError):
+        HFNorm(None)("the colour of humour")
+    # explicit {} opts out; a real map applies word-level
+    assert EnglishTextNormalizer({})("the colour") == "the colour"
+    ours = EnglishTextNormalizer({"colour": "color", "humour": "humor"})
+    hf = HFNorm({"colour": "color", "humour": "humor"})
+    for text in ("the colour of humour", "Colour me surprised!",
+                 "humour, colour and valour."):
+        assert ours(text) == hf(text), text
 
 
 def test_align_matched_words():
