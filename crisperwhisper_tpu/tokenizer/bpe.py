@@ -54,6 +54,66 @@ def get_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
 # GPT-2 pre-tokenization split (tokenization_whisper.py:311)
 _PAT_STR = r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
 
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def gpt2_pre_tokenize(text: str) -> list[str]:
+    """Pure-Python GPT-2 pre-tokenization — exact semantics of _PAT_STR
+    without the third-party `regex` package (VERDICT r3 item 7: encode
+    must not hard-require it). The pattern's Unicode classes map to
+    stdlib predicates: \\p{L}/\\p{N} = unicodedata category L*/N*,
+    \\s = str.isspace(). Alternation order is load-bearing and mirrored
+    here: contractions, " ?letters", " ?numbers", " ?other",
+    "ws-run(?!\\S)" (backtracks one char before a non-space — the char
+    that then fuses as the next token's optional leading space), "ws-run".
+    Differential-fuzzed against the compiled pattern in
+    tests/test_tokenizer.py."""
+    import unicodedata
+    cat = unicodedata.category
+    toks: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            matched = next((suf for suf in _CONTRACTIONS
+                            if text.startswith(suf, i)), None)
+            if matched is not None:
+                toks.append(matched)
+                i += len(matched)
+                continue
+        j = i + (1 if c == " " and i + 1 < n
+                 and not text[i + 1].isspace() else 0)
+        if j < n:
+            k0 = cat(text[j])[0]
+            if k0 in "LN":                       # " ?letters" / " ?numbers"
+                k = j + 1
+                while k < n and cat(text[k])[0] == k0:
+                    k += 1
+                toks.append(text[i:k])
+                i = k
+                continue
+            if not text[j].isspace():            # " ?other" (incl. ')
+                k = j + 1
+                while (k < n and not text[k].isspace()
+                       and cat(text[k])[0] not in "LN"):
+                    k += 1
+                toks.append(text[i:k])
+                i = k
+                continue
+        # whitespace run (c is whitespace here)
+        j = i + 1
+        while j < n and text[j].isspace():
+            j += 1
+        if j >= n:                               # run to EOS: take all
+            toks.append(text[i:j])
+        elif j - i >= 2:                         # backtrack one char; the
+            toks.append(text[i:j - 1])           # last ws char re-matches
+            j -= 1                               # (fusing if literal ' ')
+        else:                                    # single non-' ' ws char
+            toks.append(c)
+        i = j
+    return toks
+
 
 class ByteLevelBPE:
     """vocab.json + merges.txt codec with LRU'd merge computation."""
@@ -129,11 +189,16 @@ class ByteLevelBPE:
         return out
 
     # --- public codec ---------------------------------------------------
+    def pre_tokenize(self, text: str) -> list[str]:
+        """GPT-2 split: the compiled `regex` pattern when available,
+        else the equivalent pure-Python scanner (differential-fuzzed)."""
+        if self.pat is not None:
+            return self.pat.findall(text)
+        return gpt2_pre_tokenize(text)
+
     def encode(self, text: str) -> list[int]:
-        if self.pat is None:
-            raise RuntimeError("encode requires the `regex` package")
         ids: list[int] = []
-        for tok in self.pat.findall(text):
+        for tok in self.pre_tokenize(text):
             mapped = "".join(self.byte_encoder[b]
                              for b in tok.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self.bpe(mapped).split(" "))

@@ -157,3 +157,104 @@ def test_adjust_pauses_bit_exact():
     assert got[1]["timestamp"] == (1.025, 2.06)
     assert got[2]["timestamp"] == (2.44, 3.0)
     assert got[3]["timestamp"] == (3.0, 4.0)
+
+
+# --------------------------------------------------------------------------
+# regex-free encode path (VERDICT r3 item 7: the fast-tokenizer ENCODE gap)
+
+def _fuzz_strings(n=300):
+    import random
+    rng = random.Random(0)
+    pools = [
+        " abcdefgh",                      # ascii words + spaces
+        " \t\n  ",              # whitespace zoo
+        "0123456789",                     # numbers
+        "!?.,;:'\"()[]-",                 # punctuation (incl. apostrophe)
+        "éüñßœ",                          # letters w/ diacritics
+        "日本語汉字",                      # CJK letters
+        "½¾①",                            # No/Nl number categories
+        "'s't're've'm'll'd",              # contraction fragments
+    ]
+    outs = []
+    for _ in range(n):
+        k = rng.randint(0, 40)
+        pool = rng.choice(pools) + rng.choice(pools)
+        outs.append("".join(rng.choice(pool) for _ in range(k)))
+    outs += ["don't y'all it's we're I'm they'll he'd",
+             "  leading run", "trailing run   ", "\t\tmixed \t ws\n\n",
+             "word 's split", "''s", "!!'s", "a  b   c    d",
+             "[UH] um, uh... [UM]!", "x" * 100, " " * 7, ""]
+    return outs
+
+
+def test_gpt2_pre_tokenize_matches_regex():
+    """The pure-Python scanner must reproduce the `regex` findall of the
+    GPT-2 pattern EXACTLY (same tokens, same order, lossless concat)."""
+    regex = pytest.importorskip("regex")
+    from crisperwhisper_tpu.tokenizer.bpe import _PAT_STR, gpt2_pre_tokenize
+    pat = regex.compile(_PAT_STR)
+    for s in _fuzz_strings():
+        expect = pat.findall(s)
+        got = gpt2_pre_tokenize(s)
+        assert got == expect, (s, got, expect)
+        assert "".join(got) == s
+
+
+def test_encode_without_regex_package(toks, monkeypatch):
+    """encode() must work (identically) when the `regex` package is
+    unavailable — the scanner path."""
+    _, ours, _ = toks
+    # locate the ByteLevelBPE inside our tokenizer wrapper
+    from crisperwhisper_tpu.tokenizer.bpe import ByteLevelBPE
+    codec = next((attr for attr in vars(ours).values()
+                  if isinstance(attr, ByteLevelBPE)), None)
+    assert codec is not None, "ByteLevelBPE not found on tokenizer"
+    texts = [" hello world", " the cat [UH] sat", "don't stop",
+             "a b  c", " hello, world!", "tab\ttab", "num 42x"]
+    with_regex = [codec.encode(t) for t in texts]
+    monkeypatch.setattr(codec, "pat", None)
+    without = [codec.encode(t) for t in texts]
+    assert with_regex == without
+
+
+def test_encode_parity_vs_fast_tokenizer(vocab):
+    """Encode parity vs the Rust-backed `tokenizers` BPE (the backend the
+    reference's AutoProcessor loads when tokenizer.json exists —
+    hf models/whisper/tokenization_whisper_fast.py)."""
+    tokenizers = pytest.importorskip("tokenizers")
+    import json
+    import os
+
+    path, layout = vocab
+    from crisperwhisper_tpu.tokenizer.bpe import ByteLevelBPE
+    ours = ByteLevelBPE.from_dir(path)
+
+    vocab_map = json.load(open(os.path.join(path, "vocab.json")))
+    merges = []
+    with open(os.path.join(path, "merges.txt")) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line and not line.startswith("#version"):
+                a, b = line.split()
+                merges.append((a, b))
+    fast = tokenizers.Tokenizer(
+        tokenizers.models.BPE(vocab_map, merges))
+    fast.pre_tokenizer = tokenizers.pre_tokenizers.ByteLevel(
+        add_prefix_space=False, use_regex=True)
+    fast.decoder = tokenizers.decoders.ByteLevel()
+
+    texts = [" hello world", "hello", " the cat [UH] sat",
+             " um uh [UM] dog", "a b  c", " hello, world!",
+             "don't y'all it's", "  double  spaces ", "42 cats",
+             "\t tab then text"]
+    for t in texts:
+        assert ours.encode(t) == fast.encode(t).ids, t
+        # and the scanner path agrees too
+        pat, ours.pat = ours.pat, None
+        try:
+            assert ours.encode(t) == fast.encode(t).ids, ("no-regex", t)
+        finally:
+            ours.pat = pat
+    # decode round-trip vs fast decoder
+    ids = ours.encode(" hello world, don't [UH] stop 42")
+    assert ours.decode(ids) == fast.decode(ids, skip_special_tokens=False)
