@@ -227,13 +227,18 @@ class GenerationOptions:
     #                                 the LIVE prefix instead of the full
     #                                 allocated ring (~1/3 of the
     #                                 dominant batched self-ring read at
-    #                                 the 192-token budget). Padded ring
-    #                                 slots contribute exact zeros to the
-    #                                 tree reductions: greedy/beam are
-    #                                 bit-identical, assisted pins exact
-    #                                 sequences with alignment to
-    #                                 reduction-order ulp (pinned by
-    #                                 tests/test_staged_ring.py); 0 = off
+    #                                 the 192-token budget). Numerics
+    #                                 contract (tests/test_staged_ring.py):
+    #                                 token sequences are pinned EXACT on
+    #                                 every path; probabilities
+    #                                 (alignment/logprobs) are bitwise
+    #                                 when the ring fits a few quanta and
+    #                                 move by reduction-order ulp at
+    #                                 wider rings (width-dependent sum
+    #                                 parenthesization; measured 9.3e-10
+    #                                 max abs at ring 151) — alignment
+    #                                 consumers needing bitwise repro of
+    #                                 a non-staged run must set 0 = off
     #                                 (single full-width loop). Applies
     #                                 to greedy/sampling, beam AND
     #                                 assisted loops. Default 128 since

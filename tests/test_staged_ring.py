@@ -3,12 +3,16 @@
 The greedy/sampling decode loop can run in ring-width stages so the
 self-attention read scales with the live prefix instead of the full
 allocated ring. Padded ring slots contribute exact zeros to every
-reduction (masked scores -> exp == 0.0; zero-block subtrees), so the
-staged loop must be BIT-IDENTICAL to the single full-width loop — not
-a numerics option, pure read-volume optimization. (Assisted
-decoding's verify-block einsum reassociates width-axis partial
-sums on some backends: sequences stay exact, alignment agrees to
-reduction-order ulp.)
+reduction (masked scores -> exp == 0.0), so when the reduction tree's
+GROUPING of the live values is unchanged the staged loop is
+BIT-IDENTICAL to the single full-width loop — pinned below for rings
+within a few quanta. At production widths the grouping is NOT always
+preserved: a vectorized sum over a 128-wide stage parenthesizes the
+same nonzero summands differently than over the full ring, so
+probabilities (align/logprob) can move by reduction-order ulp while
+token sequences stay exact (measured round 4:
+test_staged_ring_default_quantum_production_ring, 9.3e-10 max abs).
+Same class as assisted decoding's verify-block einsum reassociation.
 """
 
 import numpy as np
@@ -190,3 +194,47 @@ def test_staged_ring_assisted_self_draft_bitwise():
                                   np.asarray(got.sequences))
     np.testing.assert_allclose(np.asarray(got.align_probs),
                                np.asarray(ref.align_probs), atol=1e-6)
+
+
+def test_staged_ring_default_quantum_production_ring():
+    """ADVICE r3: the SHIPPED default (staged_ring_quantum=128) was never
+    exercised at a ring wider than one quantum. Decode 150 tokens on an
+    arch with max_target_positions=192 so the default runs a real 2-stage
+    loop, and pin GenerationOptions() (default ON) against
+    staged_ring_quantum=0 (single full-width loop).
+
+    Finding (round 4, this test): at ring widths ABOVE one quantum the
+    padded-zeros argument no longer yields bitwise equality — a
+    vectorized reduction over a 128-wide stage groups the same nonzero
+    summands into a different tree than a 151-wide full ring, so the
+    attention softmax rounds differently (measured: align_probs max abs
+    9.3e-10 / rel 2.4e-7 = one f32 ulp; sequences/num_generated exact).
+    Tokens are pinned bitwise; probabilities to reduction-order ulp."""
+    from crisperwhisper_tpu.config import WhisperArch
+    from helpers import TINY
+
+    arch = WhisperArch(**{**TINY, "max_target_positions": 192})
+    params = init_params(arch, jax.random.PRNGKey(0))
+    enc = encode(params, arch, jnp.asarray(rand_mel(batch=2, seed=4)))
+    sel = jnp.asarray(alignment_selector(arch, ((0, 1), (1, 2))))
+    prompt = jnp.full((2, 1), TINY_SPECIALS.sot, jnp.int32)
+    base = dict(max_initial_timestamp_index=50)
+    kw = dict(align_sel=sel, cross_cache_dtype=jnp.int8,
+              self_cache_dtype=jnp.int8)
+
+    default = GenerationOptions(**base)
+    assert default.staged_ring_quantum == 128
+    got = greedy_decode_jit(params, arch, TINY_SPECIALS, default, enc,
+                            prompt, 150, **kw)
+    ref = greedy_decode_jit(params, arch, TINY_SPECIALS,
+                            GenerationOptions(**base,
+                                              staged_ring_quantum=0),
+                            enc, prompt, 150, **kw)
+    for field in ("sequences", "num_generated"):
+        np.testing.assert_array_equal(np.asarray(getattr(ref, field)),
+                                      np.asarray(getattr(got, field)),
+                                      err_msg=field)
+    for field in ("align_probs", "sum_logprobs", "no_speech_probs"):
+        np.testing.assert_allclose(np.asarray(getattr(got, field)),
+                                   np.asarray(getattr(ref, field)),
+                                   rtol=3e-6, atol=1e-8, err_msg=field)
