@@ -230,3 +230,54 @@ def test_streaming_batcher_over_mesh_pipeline(mesh, tmp_path_factory):
     for r in results:
         assert r["text"] == ref["text"]
         assert len(r["chunks"]) == len(ref["chunks"])
+
+
+def test_multihost_serving_mesh_single_process():
+    """make_serving_mesh on the 8-device virtual CPU mesh: model axis
+    must divide local devices; full end-to-end decode over the hybrid
+    mesh builder's output matches make_mesh's layout semantics."""
+    import pytest
+    from crisperwhisper_tpu.parallel import (host_local_array,
+                                             init_multihost,
+                                             make_serving_mesh,
+                                             process_local_batch)
+
+    init_multihost()                      # single-process no-op
+    mesh = make_serving_mesh(model=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    assert mesh.axis_names == ("data", "model")
+
+    with pytest.raises(ValueError, match="divide"):
+        make_serving_mesh(model=3)
+    with pytest.raises(ValueError, match="data axis"):
+        make_serving_mesh(model=4, data=1)
+
+    assert process_local_batch(8) == 8    # 1 process owns the batch
+    arr = host_local_array(np.ones((4, 5), np.float32), mesh)
+    assert arr.shape == (4, 5)
+    assert {d for s in arr.addressable_shards
+            for d in [s.device]} <= set(mesh.devices.flat)
+
+
+def test_multihost_mesh_runs_sharded_decode():
+    """A TP=2/DP=4 serving mesh from make_serving_mesh must run the real
+    sharded decode path (same flow as dryrun_multichip)."""
+    from crisperwhisper_tpu.parallel import (data_sharding,
+                                             make_serving_mesh,
+                                             shard_params)
+    from crisperwhisper_tpu.decoding import greedy_decode_jit
+    from crisperwhisper_tpu.models import encode, init_params
+    from crisperwhisper_tpu.config import GenerationOptions
+    from helpers import TINY_SPECIALS, rand_mel, tiny_arch
+
+    mesh = make_serving_mesh(model=2)
+    arch = tiny_arch()
+    params = shard_params(init_params(arch, jax.random.PRNGKey(0)), mesh)
+    mel = jax.device_put(jnp.asarray(rand_mel(batch=4, seed=3)),
+                         data_sharding(mesh))
+    enc = encode(params, arch, mel)
+    res = greedy_decode_jit(
+        params, arch, TINY_SPECIALS,
+        GenerationOptions(max_initial_timestamp_index=50), enc,
+        jnp.full((4, 1), TINY_SPECIALS.sot, jnp.int32), 6)
+    assert np.asarray(res.sequences).shape == (4, 7)
