@@ -37,7 +37,9 @@ TPU backend since the uint8 nibble-packed layout — models/quantize.py),
 BENCH_B1 / BENCH_SPEC / BENCH_BEAM / BENCH_ROWS / BENCH_SPEC_B64 ("0"
 to skip the batch-1 / prompt-lookup / beam-5 / batch-8 / batched-
 speculation rows), BENCH_HEADLINE (headline token budget override for
-smokes), CW_RING_SCATTER (ring-write strategy for the batched
+smokes), BENCH_SPEC_LEN (draft window for the prompt-lookup speculation
+rows, default 5 — the on-chip sweep lever for the single-stream latency
+target), CW_RING_SCATTER (ring-write strategy for the batched
 speculation row — ops/ring_scatter.py), BENCH_STAGED (staged
 ring-growth quantum, default 128 — measured +4-5% on chip, "0" =
 single full-width loop), PLATFORM (force a jax platform; the axon plugin overrides
@@ -84,6 +86,7 @@ ITERS = int(os.environ.get("BENCH_ITERS", "4"))
 N_ALIGN_HEADS = 15     # CrisperWhisper fine-tunes 15 heads (README:295)
 KV = os.environ.get("BENCH_KV", "int4")
 SELF_KV = os.environ.get("BENCH_SELF_KV", "int8")
+SPEC_LEN = int(os.environ.get("BENCH_SPEC_LEN", "5"))
 if "BENCH_W_INT8" in os.environ and "BENCH_W" not in os.environ:
     # legacy knob (pre round-2): map it so old invocations keep meaning
     os.environ["BENCH_W"] = ("int8" if os.environ["BENCH_W_INT8"] == "1"
@@ -152,7 +155,7 @@ def main():
                 assisted_decode_jit)
             res = assisted_decode_jit(
                 params, arch, None, None, sp, o, enc, None, prompt,
-                n_tokens, spec_len=5, **common)
+                n_tokens, spec_len=SPEC_LEN, **common)
         else:
             res = greedy_decode_jit(
                 params, arch, sp, o, enc, prompt, n_tokens, **common)
@@ -354,7 +357,7 @@ def main():
         plain_s = next((r["latency_ms_per_30s_chunk"] / 1e3 for r in rows
                         if r.get("mode") == "single_stream"), None)
         row = {"mode": "prompt_lookup_spec", "batch": 1,
-               "tokens_per_chunk": n_tokens, "spec_len": 5,
+               "tokens_per_chunk": n_tokens, "spec_len": SPEC_LEN,
                "latency_ms_per_30s_chunk": round(spec_s * 1e3, 1),
                "speedup_vs_greedy_b1": (round(plain_s / spec_s, 2)
                                         if plain_s else None)}
@@ -381,7 +384,7 @@ def main():
                      and "rtfx_device" in r and "mode" not in r), None)
                 row = {"mode": "prompt_lookup_spec_batched",
                        "batch": BATCH, "tokens_per_chunk": n_tokens,
-                       "spec_len": 5,
+                       "spec_len": SPEC_LEN,
                        "ring_scatter": os.environ.get("CW_RING_SCATTER",
                                                       "scatter"),
                        "device_s": round(sb_s, 3),
@@ -411,7 +414,7 @@ def main():
                                            opts_override=opts_sk))
                 sk_s = (time.perf_counter() - t0) / ITERS
                 row = {"mode": "prompt_lookup_spec_b1_kernel", "batch": 1,
-                       "tokens_per_chunk": n_tokens, "spec_len": 5,
+                       "tokens_per_chunk": n_tokens, "spec_len": SPEC_LEN,
                        "latency_ms_per_30s_chunk": round(sk_s * 1e3, 1),
                        "speedup_vs_greedy_b1": (round(plain_s / sk_s, 2)
                                                 if plain_s else None)}

@@ -24,10 +24,23 @@ class WhisperTokenizer:
                  added_tokens: dict[str, int] | None = None,
                  language: str | None = None,
                  task: str | None = None,
-                 predict_timestamps: bool = True):
+                 predict_timestamps: bool = True,
+                 special_added: set[str] | None = None):
+        """special_added: which added tokens are SPECIAL (skipped by
+        skip_special_tokens=True and counted in all_special_ids). None
+        (default) marks every added token special — the vanilla whisper
+        checkpoint layout, where added_tokens.json holds exactly the
+        control tokens. CrisperWhisper-style filler tokens ([UH]/[UM])
+        registered as NON-special added tokens (hf added_tokens_decoder
+        "special": false) must be excluded here so they survive
+        skip_special_tokens=True and don't shift timestamp_begin
+        (hf tokenization_utils.py added-token specialness contract)."""
         self.bpe = bpe
         self.added_tokens = dict(added_tokens or {})
         self.added_decoder = {v: k for k, v in self.added_tokens.items()}
+        self.added_special = (set(self.added_tokens)
+                              if special_added is None
+                              else set(special_added))
         self.language = language
         self.task = task
         self.predict_timestamps = predict_timestamps
@@ -47,9 +60,12 @@ class WhisperTokenizer:
                           if _find("<|nospeech|>") is not None
                           else (self.no_timestamps - 1
                                 if self.no_timestamps else None))
-        # special ids: everything registered as an added special token plus
-        # eot; timestamp tokens live above all of them.
-        special_ids = set(self.added_tokens.values())
+        # special ids: the added tokens flagged special plus eot;
+        # timestamp tokens live above all of them. Non-special added
+        # tokens (verbatim fillers) are deliberately excluded — they are
+        # vocabulary, not control tokens.
+        special_ids = {self.added_tokens[t] for t in self.added_special
+                       if t in self.added_tokens}
         if self.eot is not None:
             special_ids.add(self.eot)
         self.all_special_ids: list[int] = sorted(special_ids)
@@ -66,18 +82,40 @@ class WhisperTokenizer:
     def from_dir(cls, model_dir: str, **kw) -> "WhisperTokenizer":
         bpe = ByteLevelBPE.from_dir(model_dir)
         added: dict[str, int] = {}
+        # Specialness per added token: legacy added_tokens.json carries no
+        # flag — default special=True (the vanilla whisper layout, where
+        # that file is exactly the control-token set); explicit
+        # "special" flags in tokenizer_config.json's added_tokens_decoder
+        # override (hf tokenization_utils_base.from_pretrained), and
+        # special_tokens_map.json entries force special=True.
+        flags: dict[str, bool] = {}
         at_path = os.path.join(model_dir, "added_tokens.json")
         if os.path.exists(at_path):
             with open(at_path, encoding="utf-8") as f:
-                added.update(json.load(f))
+                legacy = json.load(f)
+            added.update(legacy)
+            flags.update({t: True for t in legacy})
         cfg_path = os.path.join(model_dir, "tokenizer_config.json")
         if os.path.exists(cfg_path):
             with open(cfg_path, encoding="utf-8") as f:
                 cfg = json.load(f)
             for idx, spec in cfg.get("added_tokens_decoder", {}).items():
                 added[spec["content"]] = int(idx)
+                flags[spec["content"]] = bool(spec.get("special", True))
             kw.setdefault("language", cfg.get("language"))
             kw.setdefault("task", cfg.get("task"))
+        map_path = os.path.join(model_dir, "special_tokens_map.json")
+        if os.path.exists(map_path):
+            with open(map_path, encoding="utf-8") as f:
+                smap = json.load(f)
+            for v in smap.values():
+                for entry in (v if isinstance(v, list) else [v]):
+                    content = (entry["content"] if isinstance(entry, dict)
+                               else entry)
+                    if content in added:
+                        flags[content] = True
+        kw.setdefault("special_added",
+                      {t for t, special in flags.items() if special})
         return cls(bpe, added, **kw)
 
     # --- vocabulary helpers -------------------------------------------------
@@ -118,7 +156,35 @@ class WhisperTokenizer:
 
     # --- encode -------------------------------------------------------------
     def encode(self, text: str) -> list[int]:
-        return self.bpe.encode(text)
+        """BPE-encode, recognizing added tokens embedded in the text.
+
+        hf's tokenize() splits the input on the added-token vocabulary
+        BEFORE byte-level BPE runs (tokenization_utils.py tokens_trie
+        split), so '<|startoftranscript|>' or an added '[UH]' filler maps
+        to its single id rather than byte pieces. Longest-match split,
+        matching the trie's behavior for plain (no lstrip/rstrip)
+        added tokens."""
+        if not self.added_tokens:
+            return self.bpe.encode(text)
+        ordered = sorted(self.added_tokens, key=len, reverse=True)
+        out: list[int] = []
+        start = 0
+        i = 0
+        n = len(text)
+        while i < n:
+            for tok in ordered:
+                if text.startswith(tok, i):
+                    if start < i:
+                        out.extend(self.bpe.encode(text[start:i]))
+                    out.append(self.added_tokens[tok])
+                    i += len(tok)
+                    start = i
+                    break
+            else:
+                i += 1
+        if start < n:
+            out.extend(self.bpe.encode(text[start:]))
+        return out
 
     # --- decode (tokenization_whisper.py:675-792) ---------------------------
     def decode(self, token_ids: Sequence[int],
@@ -140,7 +206,14 @@ class WhisperTokenizer:
                 if pending:
                     parts.append(self.bpe.decode(pending))
                     pending = []
-                if not skip_special_tokens:
+                if t not in special_set:
+                    # non-special added token (e.g. a [UH]/[UM] verbatim
+                    # filler): vocabulary, not a control token — rendered
+                    # as its literal string regardless of
+                    # skip_special_tokens (hf convert_ids_to_tokens only
+                    # filters all_special_ids)
+                    parts.append(self.added_decoder[t])
+                elif not skip_special_tokens:
                     parts.append(self.added_decoder.get(t, ""))
             else:
                 pending.append(t)

@@ -258,3 +258,98 @@ def test_encode_parity_vs_fast_tokenizer(vocab):
     # decode round-trip vs fast decoder
     ids = ours.encode(" hello world, don't [UH] stop 42")
     assert ours.decode(ids) == fast.decode(ids, skip_special_tokens=False)
+
+
+def test_nonspecial_added_fillers_survive_skip_special(tmp_path):
+    """CrisperWhisper-shaped added-token layout: verbatim fillers
+    registered as NON-special added tokens (hf added_tokens_decoder
+    "special": false) must SURVIVE skip_special_tokens=True, stay out of
+    all_special_ids, and not shift timestamp_begin — differential vs the
+    installed HF slow tokenizer (VERDICT r3 weak item 8; hf
+    tokenization_utils.py specialness contract)."""
+    import json
+    import os
+
+    from transformers import AddedToken
+    from transformers import WhisperTokenizer as HFWhisperTokenizer
+
+    path = str(tmp_path / "filler_vocab")
+    layout = build_vocab_dir(path)
+    base_size = layout["base_size"]
+
+    # hf: fillers first (non-special, ids base_size..+1), then the
+    # whisper control tokens (special) — fillers live BELOW the specials
+    # exactly like base-vocab entries would, so timestamp_begin
+    # (= all_special_ids[-1] + 1) is unaffected by them.
+    hf = HFWhisperTokenizer(
+        vocab_file=os.path.join(path, "vocab.json"),
+        merges_file=os.path.join(path, "merges.txt"))
+    fillers = ["[AH]", "[HM]"]
+    hf.add_tokens([AddedToken(f, lstrip=False, rstrip=False)
+                   for f in fillers])
+    with open(os.path.join(path, "added_tokens.json"),
+              encoding="utf-8") as f:
+        specials_order = sorted(json.load(f).items(), key=lambda kv: kv[1])
+    hf.add_special_tokens(
+        {"additional_special_tokens":
+         [k for k, _ in specials_order if k != "<|endoftext|>"]})
+
+    # ours: the same layout via tokenizer_config.json's
+    # added_tokens_decoder with explicit special flags (the modern hf
+    # serialization CrisperWhisper checkpoints carry)
+    # hf's constructor registers <|endoftext|> (unk/bos/eos) at base_size
+    # before add_tokens ran, so the id layout is: eot, fillers, the rest
+    # of the control tokens in added_tokens.json order.
+    decoder = {str(base_size): {"content": "<|endoftext|>",
+                                "special": True}}
+    for i, f in enumerate(fillers):
+        decoder[str(base_size + 1 + i)] = {"content": f, "special": False}
+    rest = [k for k, _ in specials_order if k != "<|endoftext|>"]
+    for j, tok_str in enumerate(rest):
+        decoder[str(base_size + 1 + len(fillers) + j)] = {
+            "content": tok_str, "special": True}
+    os.remove(os.path.join(path, "added_tokens.json"))
+    with open(os.path.join(path, "tokenizer_config.json"), "w",
+              encoding="utf-8") as f:
+        json.dump({"added_tokens_decoder": decoder}, f)
+    ours = our_tokenizer(path)
+
+    for f in fillers:
+        assert hf.convert_tokens_to_ids(f) == ours.token_to_id(f)
+    assert sorted(hf.all_special_ids) == ours.all_special_ids
+    assert ours.timestamp_begin == max(hf.all_special_ids) + 1
+    ah = ours.token_to_id("[AH]")
+    hm = ours.token_to_id("[HM]")
+    assert ah not in ours.all_special_ids
+
+    h = hf(" hello", add_special_tokens=False)["input_ids"]
+    w = hf(" world", add_special_tokens=False)["input_ids"]
+    sot = ours.sot
+    eot = ours.eot
+    tsb = ours.timestamp_begin
+    seqs = [
+        [sot, *h, ah, *w, eot],
+        [tsb + 0, *h, ah, hm, *w, tsb + 40, eot],
+        [ah, hm],
+    ]
+    for ids in seqs:
+        for skip in (False, True):
+            assert ours.decode(ids, skip_special_tokens=skip) == \
+                hf.decode(ids, skip_special_tokens=skip), (ids, skip)
+    # the point of the test, stated directly: fillers survive skip=True
+    assert "[AH]" in ours.decode(seqs[0], skip_special_tokens=True)
+
+
+def test_encode_recognizes_added_tokens(toks):
+    """hf tokenize() splits on the added-token vocabulary before BPE
+    (tokenization_utils.py tokens_trie) — embedded control tokens map to
+    single ids. Parity on text mixing prose with added tokens."""
+    hf, ours, lay = toks
+    texts = ["<|startoftranscript|><|en|><|transcribe|> hello world",
+             " the cat<|endoftext|>",
+             "<|startofprev|> um uh [UM] dog<|startoftranscript|>",
+             "no specials at all",
+             "<|notimestamps|>"]
+    for t in texts:
+        assert ours.encode(t) == hf(t, add_special_tokens=False
+                                    )["input_ids"], t
