@@ -172,6 +172,24 @@ def main():
         seqs, jumps = out
         return np.asarray(seqs)[0, 0] + np.asarray(jumps)[0, 0]
 
+    def compile_with_retries(thunk, attempts=3):
+        """First (compiling) invocation of a row's program, with retries:
+        the tunnel's remote-compile POST can die mid-compile ("Broken
+        pipe", NOTES_ROUND4 finding 5) while the terminal stages the
+        finished compile keyed by (mlir, options) — an immediate retry of
+        the SAME program can hit that staged cache. Without this, one
+        transient transport error mislabels a working config as
+        '# row skipped' in the judge-facing output."""
+        for attempt in range(attempts):
+            try:
+                return thunk()
+            except Exception as e:
+                if attempt == attempts - 1:
+                    raise
+                print(f"# compile attempt {attempt + 1}/{attempts} failed "
+                      f"({type(e).__name__}: {str(e)[:150]}); retrying",
+                      flush=True)
+
     def host_postprocess(seqs, jumps, n_tokens, fold=True):
         """The pipeline's host side on the produced tokens: BPE decode +
         overlap stitcher + word grouping for BATCH consecutive chunks of
@@ -221,7 +239,8 @@ def main():
     rows = []
     headline = None
     for n_tokens in TOKEN_ROWS:
-        materialize(run_device(params, audio, n_tokens))      # compile
+        compile_with_retries(lambda: materialize(
+            run_device(params, audio, n_tokens)))
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = run_device(params, audio, n_tokens)
@@ -274,7 +293,8 @@ def main():
     if os.environ.get("BENCH_B1", "1") != "0":
         n_tokens = HEADLINE_TOKENS
         audio1 = audio[:1]
-        materialize(run_device(params, audio1, n_tokens))     # compile
+        compile_with_retries(lambda: materialize(
+            run_device(params, audio1, n_tokens)))
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out1 = run_device(params, audio1, n_tokens)
@@ -317,7 +337,7 @@ def main():
                 full_frames=True)
             return res.sequences, jumps
         try:
-            materialize(run_b1k())                           # compile
+            compile_with_retries(lambda: materialize(run_b1k()))
             t0 = time.perf_counter()
             for _ in range(ITERS):
                 materialize(run_b1k())
@@ -348,7 +368,8 @@ def main():
     if os.environ.get("BENCH_SPEC", "1") != "0":
         n_tokens = HEADLINE_TOKENS
         audio1 = audio[:1]
-        materialize(run_device(params, audio1, n_tokens, assistant=True))
+        compile_with_retries(lambda: materialize(
+            run_device(params, audio1, n_tokens, assistant=True)))
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out_s = run_device(params, audio1, n_tokens, assistant=True)
@@ -370,8 +391,8 @@ def main():
         # current configuration's speedup vs plain batched greedy.
         if os.environ.get("BENCH_SPEC_B64", "1") != "0":
             try:
-                materialize(run_device(params, audio, n_tokens,
-                                       assistant=True))
+                compile_with_retries(lambda: materialize(
+                    run_device(params, audio, n_tokens, assistant=True)))
                 t0 = time.perf_counter()
                 for _ in range(ITERS):
                     materialize(run_device(params, audio, n_tokens,
@@ -404,9 +425,9 @@ def main():
             opts_sk = GenerationOptions(max_initial_timestamp_index=50,
                                         b1_decode_kernel=True)
             try:
-                materialize(run_device(params, audio1, n_tokens,
-                                       assistant=True,
-                                       opts_override=opts_sk))
+                compile_with_retries(lambda: materialize(
+                    run_device(params, audio1, n_tokens, assistant=True,
+                               opts_override=opts_sk)))
                 t0 = time.perf_counter()
                 for _ in range(ITERS):
                     materialize(run_device(params, audio1, n_tokens,
@@ -432,7 +453,8 @@ def main():
     if (os.environ.get("BENCH_ROWS", "1") != "0" and BATCH >= 8):
         n_tokens = HEADLINE_TOKENS
         audio8 = audio[:8]
-        materialize(run_device(params, audio8, n_tokens))     # compile
+        compile_with_retries(lambda: materialize(
+            run_device(params, audio8, n_tokens)))
         t0 = time.perf_counter()
         for _ in range(ITERS):
             materialize(run_device(params, audio8, n_tokens))
@@ -446,8 +468,9 @@ def main():
             opts_rk = GenerationOptions(max_initial_timestamp_index=50,
                                         b1_decode_kernel=True)
             try:
-                materialize(run_device(params, audio8, n_tokens,
-                                       opts_override=opts_rk))
+                compile_with_retries(lambda: materialize(
+                    run_device(params, audio8, n_tokens,
+                               opts_override=opts_rk)))
                 t0 = time.perf_counter()
                 for _ in range(ITERS):
                     materialize(run_device(params, audio8, n_tokens,
@@ -502,7 +525,7 @@ def main():
         beam_plain_s = None
         for mode, o in variants:
             try:
-                materialize(run_beam(o))                     # compile
+                compile_with_retries(lambda: materialize(run_beam(o)))
                 t0 = time.perf_counter()
                 for _ in range(ITERS):
                     materialize(run_beam(o))

@@ -178,9 +178,25 @@ def main():
         else:
             fn = loop(decode_step if name == "xla" else decode_step_b1)
             denom = N
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(cache_v, tok0))
-        compile_s = time.perf_counter() - t0
+        # Per-variant retry: the tunnel's remote-compile POST dies with
+        # "Broken pipe" on ~30-min compiles (NOTES_ROUND4 finding 5), but
+        # the terminal keeps/stages finished compiles keyed by
+        # (mlir, options) byte-identity — an immediate retry of the SAME
+        # program can hit that cache and return fast. One variant dying
+        # must also never skip the remaining variants.
+        attempts = int(os.environ.get("ATTEMPTS", "3"))
+        out = None
+        for attempt in range(attempts):
+            try:
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(fn(cache_v, tok0))
+                compile_s = time.perf_counter() - t0
+                break
+            except Exception as e:                    # transport/compile
+                print(f"{name}: attempt {attempt + 1}/{attempts} failed: "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+        if out is None:
+            continue
         best = float("inf")
         for _ in range(ITERS):
             t0 = time.perf_counter()
