@@ -11,6 +11,7 @@ Components (SURVEY.md §2.7 native plan):
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
 import subprocess
 import threading
@@ -65,6 +66,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64]
+        lib.cw_encoder_load.restype = ctypes.c_void_p
+        lib.cw_encoder_load.argtypes = [ctypes.c_char_p]
+        lib.cw_encoder_free.argtypes = [ctypes.c_void_p]
+        lib.cw_encode.restype = ctypes.c_int64
+        lib.cw_encode.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ctypes.c_int64]
         lib.cw_wav_decode.restype = ctypes.c_int64
         lib.cw_wav_decode.argtypes = [
@@ -155,6 +166,135 @@ class NativeBPEDecoder:
         if self.lib is not None and self.handle:
             try:
                 self.lib.cw_vocab_free(self.handle)
+            except Exception:
+                pass
+
+
+def _unicode_class_ranges() -> np.ndarray:
+    """[first, last, cls] rows classifying every codepoint the way
+    tokenizer/bpe.py::gpt2_pre_tokenize does (3 space via str.isspace,
+    1 \\p{L}, 2 \\p{N} via unicodedata category; 0 rows omitted — the
+    C++ side defaults unknown codepoints to class 0). Exported from the
+    running Python so native pre-tokenization matches the oracle by
+    construction."""
+    import unicodedata
+    cat = unicodedata.category
+    rows: list[tuple[int, int, int]] = []
+    start = 0
+    prev = 0
+    for cp in range(0x110000):
+        ch = chr(cp)
+        if ch.isspace():
+            cls = 3
+        else:
+            k = cat(ch)[0]
+            cls = 1 if k == "L" else 2 if k == "N" else 0
+        if cls != prev:
+            if prev:
+                rows.append((start, cp - 1, prev))
+            start = cp
+            prev = cls
+    if prev:
+        rows.append((start, 0x10FFFF, prev))
+    return np.asarray(rows, np.uint32)
+
+
+@functools.lru_cache(maxsize=1)
+def _unicode_ranges_blob() -> bytes:
+    rows = _unicode_class_ranges()
+    out = [np.uint32(len(rows)).tobytes()]
+    for first, last, cls in rows:
+        out.append(np.uint32(first).tobytes())
+        out.append(np.uint32(last).tobytes())
+        out.append(bytes([int(cls)]))
+    return b"".join(out)
+
+
+class NativeBPEEncoder:
+    """utf-8 text -> vocab ids through the C++ codec (pre-tokenize + BPE
+    merges), closing the encode half of the fast-tokenizer replacement
+    (SURVEY.md §2.7; hf models/whisper/tokenization_whisper_fast.py is the
+    Rust-backed original). Blob "CWEB1" — see native/cwtpu.cpp."""
+
+    def __init__(self, bpe, cache_path: str | None = None):
+        self.lib = get_lib()
+        self.handle = None
+        if self.lib is None:
+            return
+        blob = self._build_blob(bpe)
+        import hashlib
+        digest = hashlib.sha256(blob).hexdigest()
+        if cache_path is None:
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "crisperwhisper_tpu")
+            os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+            cache_path = os.path.join(cache_dir,
+                                      f"encoder_{digest[:32]}.cweb")
+        valid = False
+        if os.path.exists(cache_path):
+            try:
+                with open(cache_path, "rb") as f:
+                    valid = hashlib.sha256(f.read()).hexdigest() == digest
+            except OSError:
+                valid = False
+        if not valid:
+            tmp = cache_path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, cache_path)
+        self.handle = self.lib.cw_encoder_load(cache_path.encode())
+
+    @staticmethod
+    def _build_blob(bpe) -> bytes:
+        # token table: id -> raw bytes (byte-level indirection pre-resolved)
+        n = max(bpe.decoder.keys()) + 1 if bpe.decoder else 0
+        chunks: list[bytes] = []
+        offsets = np.zeros(n + 1, np.uint32)
+        total = 0
+        for i in range(n):
+            tok = bpe.decoder.get(i, "")
+            raw = bytes(bpe.byte_decoder.get(c, 0) for c in tok)
+            chunks.append(raw)
+            total += len(raw)
+            offsets[i + 1] = total
+        # merges in rank order, as raw-byte left/right strings
+        merges = sorted(bpe.bpe_ranks.items(), key=lambda kv: kv[1])
+        mparts: list[bytes] = []
+        moff = np.zeros(2 * len(merges) + 1, np.uint32)
+        mtotal = 0
+        for k, ((left, right), _rank) in enumerate(merges):
+            for j, part in enumerate((left, right)):
+                raw = bytes(bpe.byte_decoder.get(c, 0) for c in part)
+                mparts.append(raw)
+                mtotal += len(raw)
+                moff[2 * k + j + 1] = mtotal
+        return (b"CWEB" + np.uint32(1).tobytes()
+                + np.uint32(n).tobytes() + offsets.tobytes()
+                + b"".join(chunks)
+                + np.uint32(len(merges)).tobytes() + moff.tobytes()
+                + b"".join(mparts)
+                + _unicode_ranges_blob())
+
+    @property
+    def available(self) -> bool:
+        return self.handle is not None
+
+    def encode(self, text: str) -> list[int]:
+        data = np.frombuffer(text.encode("utf-8"), np.uint8)
+        data = np.ascontiguousarray(data)
+        cap = max(len(data), 1)
+        out = np.empty(cap, np.int32)
+        n = self.lib.cw_encode(self.handle, data, len(data), out, cap)
+        if n < 0:
+            # -2: symbol without a vocab id — surface to the Python path,
+            # which raises the same KeyError HF's slow tokenizer would
+            raise RuntimeError(f"native BPE encode failed (rc={n})")
+        return out[:n].tolist()
+
+    def __del__(self):
+        if self.lib is not None and self.handle:
+            try:
+                self.lib.cw_encoder_free(self.handle)
             except Exception:
                 pass
 

@@ -128,6 +128,8 @@ class ByteLevelBPE:
         self.cache: dict[str, str] = {}
         self._native = None
         self._native_tried = False
+        self._native_enc = None
+        self._native_enc_tried = False
         if _HAS_REGEX:
             self.pat = _regex.compile(_PAT_STR)
         else:
@@ -197,6 +199,18 @@ class ByteLevelBPE:
         return gpt2_pre_tokenize(text)
 
     def encode(self, text: str) -> list[int]:
+        native = self._native_encoder()
+        if native is not None:
+            try:
+                return native.encode(text)
+            except RuntimeError:
+                pass   # out-of-vocab symbol — Python path raises precisely
+        return self.encode_python(text)
+
+    def encode_python(self, text: str) -> list[int]:
+        """Pure-Python oracle for encode (the native codec's parity
+        target; also the error path — raises KeyError on symbols missing
+        from the vocab, like HF's slow tokenizer)."""
         ids: list[int] = []
         for tok in self.pre_tokenize(text):
             mapped = "".join(self.byte_encoder[b]
@@ -219,6 +233,23 @@ class ByteLevelBPE:
                 pass            # capacity exhausted — pure-Python fallback
         return self.decode_tokens(self.decoder[i] for i in ids
                                   if i in self.decoder)
+
+    def _native_encoder(self):
+        """Lazy C++ encoder (native/cwtpu.cpp cw_encode); None if
+        unbuildable. Opt-out via CW_NATIVE_ENCODE=0 (the pure-Python
+        scanner stays the semantics oracle either way)."""
+        if not self._native_enc_tried:
+            self._native_enc_tried = True
+            if os.environ.get("CW_NATIVE_ENCODE", "1") == "0":
+                self._native_enc = None
+                return None
+            try:
+                from ..native_bindings import NativeBPEEncoder
+                enc = NativeBPEEncoder(self)
+                self._native_enc = enc if enc.available else None
+            except Exception:
+                self._native_enc = None
+        return self._native_enc
 
     def _native_decoder(self):
         """Lazy C++ codec (native/cwtpu.cpp); None if unbuildable."""

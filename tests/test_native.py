@@ -72,3 +72,61 @@ def test_tokenizer_uses_native_transparently(tok):
     via_decode = tok.bpe.decode(ids)
     pure = tok.bpe.decode_tokens(tok.bpe.decoder[i] for i in ids)
     assert via_decode == pure == " hello world the cat"
+
+
+def test_native_bpe_encode_parity(lib, tok, tmp_path):
+    """C++ cw_encode (pre-tokenize + merge loop) against the pure-Python
+    oracle — closes the encode half of the fast-tokenizer replacement
+    (hf models/whisper/tokenization_whisper_fast.py is the Rust-backed
+    original; VERDICT r3 §2.5 'partial')."""
+    import random
+    from crisperwhisper_tpu.native_bindings import NativeBPEEncoder
+    enc = NativeBPEEncoder(tok.bpe, cache_path=str(tmp_path / "e.cweb"))
+    assert enc.available
+
+    texts = [
+        "hello world", " leading space", "it's a test, isn't it?  two",
+        "don't stop 123 456.78 [UH] um", "tabs\tand\nnewlines \t mix",
+        "ünïcödé tëst ß 漢字テスト  мир", "a'b'll'd x", "", " ", "   ", "'",
+        "CamelCase WORDS lower", "e=mc^2 + 3.14*r", "emoji 🙂 test 🎉!",
+    ]
+    rng = random.Random(0)
+    alphabet = (list("abc ABC 0123 .,!?'\t\n  ")
+                + ["é", "漢", "🙂", "ß", "'s", "'ll"])
+    texts += ["".join(rng.choice(alphabet)
+                      for _ in range(rng.randrange(0, 40)))
+              for _ in range(200)]
+    for t in texts:
+        assert enc.encode(t) == tok.bpe.encode_python(t), repr(t)
+
+
+def test_native_encode_routed_and_optout(tok, monkeypatch):
+    """bpe.encode routes through C++ transparently; CW_NATIVE_ENCODE=0
+    keeps it on the oracle. Both must agree."""
+    text = " it's 42 worlds  🙂"
+    via_encode = tok.bpe.encode(text)
+    assert via_encode == tok.bpe.encode_python(text)
+    import crisperwhisper_tpu.tokenizer.bpe as bpe_mod
+    fresh = bpe_mod.ByteLevelBPE(tok.bpe.encoder, tok.bpe.bpe_ranks)
+    monkeypatch.setenv("CW_NATIVE_ENCODE", "0")
+    assert fresh._native_encoder() is None
+    assert fresh.encode(text) == via_encode
+
+
+def test_native_encode_oov_falls_back_to_python(lib, tok, tmp_path):
+    """A symbol with no vocab id makes the native call fail (-2) and
+    encode() fall through to the Python path, which raises the same
+    KeyError HF's slow tokenizer would."""
+    import crisperwhisper_tpu.tokenizer.bpe as bpe_mod
+    from crisperwhisper_tpu.native_bindings import NativeBPEEncoder
+    # vocab missing most single bytes: keep only ascii letters + space
+    keep = {k: v for k, v in tok.bpe.encoder.items()
+            if all(ch.isalpha() or ch == "Ġ" or ch == " "
+                   for ch in k)}
+    small = bpe_mod.ByteLevelBPE(keep, tok.bpe.bpe_ranks)
+    enc = NativeBPEEncoder(small, cache_path=str(tmp_path / "s.cweb"))
+    assert enc.available
+    with pytest.raises(RuntimeError):
+        enc.encode("%%%")          # '%' byte has no id in `keep`
+    with pytest.raises(KeyError):
+        small.encode("%%%")        # full path surfaces the Python error
