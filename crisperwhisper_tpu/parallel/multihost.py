@@ -89,10 +89,20 @@ def make_serving_mesh(model: int = 1, data: int | None = None) -> Mesh:
             f" x processes ({n_proc}) = {full_data}; shrink the job "
             f"instead of idling devices")
     if n_proc > 1:
-        # hybrid mesh: DCN spans processes on the data axis only
-        dev = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(data_per_host, model),
-            dcn_mesh_shape=(n_proc, 1))
+        # Process-major device layout: each process's local devices form
+        # data_per_host contiguous rows, so every model-axis group (one
+        # row) lives inside ONE process — TP all-reduces never cross DCN.
+        # (mesh_utils.create_hybrid_device_mesh is NOT the tool here: it
+        # groups by slice_index and a multi-host pod slice has slice
+        # count 1 — it raises "Number of slices 1 must equal ..."; found
+        # by the two-process CPU test, tests/test_multihost_dcn.py.)
+        devs = sorted(jax.devices(),
+                      key=lambda d: (d.process_index, d.id))
+        dev = np.array(devs).reshape(data, model)
+        for row in dev:
+            owners = {d.process_index for d in row}
+            assert len(owners) == 1, (
+                f"model group spans processes {owners}")
     else:
         dev = mesh_utils.create_device_mesh((data, model))
     assert dev.shape == (data, model), (dev.shape, data, model)

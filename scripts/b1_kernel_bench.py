@@ -107,9 +107,14 @@ def main():
     sel = jnp.asarray(alignment_selector(
         arch, ((1, 0), (2, 1), (3, 2), (5, 4))))
 
+    # NB: `params` must be an explicit jit ARGUMENT, never a closure
+    # capture — closed-over arrays are embedded into the serialized HLO,
+    # and ~0.8 GB of quantized weights blows the tunnel's remote-compile
+    # request limit (HTTP 413 "length limit exceeded"; also the real
+    # cause of round 3's 35-min-then-dead compiles).
     def loop(step_fn):
         @jax.jit
-        def run(cache, tok0):
+        def run(params, cache, tok0):
             def body(i, carry):
                 tok, cache, acc = carry
                 logits, cache, align = step_fn(params, arch, tok, i, cache,
@@ -125,7 +130,7 @@ def main():
         """Chained M-token verify blocks (the assisted-decoding shape):
         each block feeds its own argmax tail forward."""
         @jax.jit
-        def run(cache, tok0):
+        def run(params, cache, tok0):
             def body(i, carry):
                 tok, cache, acc = carry
                 block = jnp.concatenate(
@@ -189,7 +194,7 @@ def main():
         for attempt in range(attempts):
             try:
                 t0 = time.perf_counter()
-                out = jax.block_until_ready(fn(cache_v, tok0))
+                out = jax.block_until_ready(fn(params, cache_v, tok0))
                 compile_s = time.perf_counter() - t0
                 break
             except Exception as e:                    # transport/compile
@@ -200,7 +205,7 @@ def main():
         best = float("inf")
         for _ in range(ITERS):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(cache_v, tok0))
+            out = jax.block_until_ready(fn(params, cache_v, tok0))
             best = min(best, time.perf_counter() - t0)
         print(f"{name:12s} {best:7.3f} s = {best / denom * 1e3:6.2f} "
               f"ms/token (compile {compile_s:.0f} s, tok {int(out[0][0])}, "
