@@ -173,7 +173,7 @@ def _kernel(pos_ref,                                     # scalar prefetch
             # outputs
             hid_ref, align_ref, kcol_ref, vcol_ref, ksc_ref, vsc_ref,
             # scratch
-            xr, y, acc, qh, pr,
+            xr, y, acc, qf, pr,
             *, sched: B1Schedule, m: int, d: int, f: int, h: int, dh: int,
             t_ring: int, k_enc: int, n_align: int, self_qmax: float,
             cross_is_int4: bool, align_bf16: bool, chunk: int = 512,
@@ -194,10 +194,19 @@ def _kernel(pos_ref,                                     # scalar prefetch
     interactive files, low-concurrency live streams).
     Scratch:
     xr [M, d] f32 residual stream; y [M, max(3d,f)] f32 GEMV input;
-    acc [M, max(3d,f)] f32 tile accumulator; qh [M*h, dh] f32 current
-    query heads; pr [M*h, Tmax] f32 attention scores/probs."""
+    acc [M, max(3d,f)] f32 tile accumulator; qf [M, d] f32 current
+    query rows (flat; heads split on SUBLANES per use — Mosaic's
+    infer-vector-layout rejects lane splits below 128, e.g.
+    (1,1280)->(20,64) "unsupported shape cast", found on-chip round 4);
+    pr [M*h, Tmax] f32 attention scores/probs."""
     li = pl.program_id(0)
     s = pl.program_id(1)
+    # pr band stride: rows of one token/beam start at multiples of
+    # h_band (next multiple of 8 >= h) so DYNAMIC band offsets
+    # (pl.ds(r * h_band, h)) are statically provable sublane-aligned —
+    # Mosaic rejects "index in dimension 0 not a multiple of 8"
+    # (found on-chip round 4, beams variant)
+    h_band = -(-h // 8) * 8
     c = sched
     qmax = self_qmax
 
@@ -270,21 +279,24 @@ def _kernel(pos_ref,                                     # scalar prefetch
     def _finish_qkv():
         qkv = (acc[:, :3 * d] * qkv_s_ref[0, 0, :][None, :]
                + qkv_b_ref[0, 0, :][None, :])          # [M, 3d]
+        # q rows stay FLAT (pre-scaled inside the fused weights); heads
+        # are split per use on sublanes — see the scratch docstring.
+        qf[...] = qkv[:, :d]
         for mi in range(m):
-            # q heads (pre-scaled inside the fused weights)
-            qh[mi * h:(mi + 1) * h, :] = qkv[mi, :d].reshape(h, dh)
-            # fresh K/V columns, quantized over Dh exactly like
-            # decode_step; scales bf16-rounded to match the XLA path,
-            # which reads the just-written bf16 cache scale back
-            kc = qkv[mi, d:2 * d].reshape(h, dh)
-            vc = qkv[mi, 2 * d:].reshape(h, dh)
+            # fresh K/V columns in sublane-major COLUMN form
+            # [h, dh, 1] (transpose + sublane split — never a lane
+            # split), quantized over Dh exactly like decode_step;
+            # scales bf16-rounded to match the XLA path, which reads
+            # the just-written bf16 cache scale back
+            kc = qkv[mi:mi + 1, d:2 * d].T.reshape(h, dh, 1)
+            vc = qkv[mi:mi + 1, 2 * d:].T.reshape(h, dh, 1)
             for (colv, cref, sref) in ((kc, kcol_ref, ksc_ref),
                                        (vc, vcol_ref, vsc_ref)):
                 amax = jnp.max(jnp.abs(colv), axis=1, keepdims=True)
-                sc = jnp.maximum(amax, 1e-8) / qmax            # [h, 1]
+                sc = jnp.maximum(amax, 1e-8) / qmax            # [h, 1, 1]
                 q = jnp.clip(jnp.round(colv / sc), -qmax, qmax)
-                cref[0, mi] = q.astype(cref.dtype)
-                sref[0, mi] = (sc[:, 0].astype(jnp.bfloat16)
+                cref[0, mi] = q.astype(cref.dtype).reshape(d, 1)
+                sref[0, mi] = (sc[:, :, 0].astype(jnp.bfloat16)
                                .astype(sref.dtype))
 
     # ---- attention primitives: elementwise mult+reduce (trivial VPU
@@ -296,10 +308,18 @@ def _kernel(pos_ref,                                     # scalar prefetch
     # this is a python loop with static slices — no dynamic control flow.
     _CHUNK = chunk
 
-    def _qk_scores(q, k_ref, width, lead=(0,)):
-        """s[h, t] = sum_d q[h, d] * k_ref[lead][h, d, t], t-chunked.
-        `lead` selects the ref's leading block dims ((0,) for the shared
-        layer-blocked refs, (0, 0) for the beam per-row ring blocks)."""
+    def _q3(row):
+        """[1, d] query row -> [h, dh, 1] column form: transpose (lane
+        -> sublane relayout) then a SUBLANE split — Mosaic supports
+        both; the direct (1, d) -> (h, dh) lane split does not pass
+        infer-vector-layout."""
+        return row.T.reshape(h, dh, 1)
+
+    def _qk_scores(q3, k_ref, width, lead=(0,)):
+        """s[h, t] = sum_d q3[h, d, 0] * k_ref[lead][h, d, t],
+        t-chunked. `lead` selects the ref's leading block dims ((0,) for
+        the shared layer-blocked refs, (0, 0) for the beam per-row ring
+        blocks)."""
         parts = []
         for off in range(0, width, _CHUNK):
             w = min(_CHUNK, width - off)
@@ -307,14 +327,16 @@ def _kernel(pos_ref,                                     # scalar prefetch
                         slice(off, off + w))]
             if kq.dtype == jnp.int4:
                 kq = kq.astype(jnp.int8)
-            parts.append(jnp.sum(q[:, :, None] * kq.astype(jnp.float32),
+            parts.append(jnp.sum(q3 * kq.astype(jnp.float32),
                                  axis=1))               # [h, w]
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 \
             else parts[0]
 
     def _pv_out(p, v_ref, width, lead=(0,)):
-        """o[h, d] = sum_t p[h, t] * v_ref[lead][h, d, t], t-chunked."""
-        out = jnp.zeros((h, dh), jnp.float32)
+        """o[h, dh, 1] = sum_t p[h, t] * v_ref[lead][h, d, t],
+        t-chunked; column form so the result folds to [d, 1] and
+        transposes into the GEMV input row (no lane merge)."""
+        out = jnp.zeros((h, dh, 1), jnp.float32)
         for off in range(0, width, _CHUNK):
             w = min(_CHUNK, width - off)
             vq = v_ref[(*lead, slice(None), slice(None),
@@ -326,7 +348,8 @@ def _kernel(pos_ref,                                     # scalar prefetch
             # round-3 "Shape mismatch in input, indices and output"
             # failure. Slice first, then expand.
             pw = jnp.expand_dims(p[:, off:off + w], 1)    # [h, 1, w]
-            out += jnp.sum(pw * vq.astype(jnp.float32), axis=2)
+            out += jnp.sum(pw * vq.astype(jnp.float32), axis=2,
+                           keepdims=True)
         return out
 
     if not beams:
@@ -338,43 +361,44 @@ def _kernel(pos_ref,                                     # scalar prefetch
             # it.
             pos = pos_ref[0]
             for mi in range(m):
-                q_m = qh[mi * h:(mi + 1) * h, :]            # [h, dh]
+                q_m = _q3(qf[mi:mi + 1, :])                 # [h, dh, 1]
                 sc = _qk_scores(q_m, ring_k_ref, t_ring)    # [h, t]
                 sc = sc * ring_ks_ref[0].astype(jnp.float32)
                 t_ids = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
                 for j in range(m):
-                    fresh = jnp.sum(
-                        q_m * kcol_ref[0, j].astype(jnp.float32),
-                        axis=1) * ksc_ref[0, j]             # [h]
-                    sc = jnp.where(t_ids == pos + j, fresh[:, None], sc)
+                    kc3 = kcol_ref[0, j].reshape(h, dh, 1)
+                    fresh = (jnp.sum(q_m * kc3.astype(jnp.float32),
+                                     axis=1)
+                             * ksc_ref[0, j])               # [h, 1]
+                    sc = jnp.where(t_ids == pos + j, fresh, sc)
                 sc = jnp.where(t_ids <= pos + mi, sc, _NEG_INF)
                 mx = jnp.max(sc, axis=1, keepdims=True)
                 e = jnp.exp(sc - mx)
-                pr[mi * h:(mi + 1) * h, :t_ring] = (
+                pr[mi * h_band:mi * h_band + h, :t_ring] = (
                     e / jnp.sum(e, axis=1, keepdims=True))
 
         @pl.when(s == c.s_selfv)
         def _self_out():
             pos = pos_ref[0]
             for mi in range(m):
-                p = pr[mi * h:(mi + 1) * h, :t_ring]
+                p = pr[mi * h_band:mi * h_band + h, :t_ring]
                 t_ids = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
                 # per-slot V scales: ring scales, with the fresh scales
                 # replacing the (stale) ring entries at pos..pos+M-1
                 sv = jnp.broadcast_to(ring_vs_ref[0].astype(jnp.float32),
                                       p.shape)
                 for j in range(m):
-                    sv = jnp.where(t_ids == pos + j,
-                                   vsc_ref[0, j][:, None], sv)
+                    sv = jnp.where(t_ids == pos + j, vsc_ref[0, j], sv)
                 pv = p * sv
                 pv_ring = jnp.where((t_ids >= pos) & (t_ids < pos + m),
                                     0.0, pv)
-                out = _pv_out(pv_ring, ring_v_ref, t_ring)  # [h, dh]
+                out = _pv_out(pv_ring, ring_v_ref, t_ring)  # [h, dh, 1]
                 for j in range(m):
                     pj = jnp.sum(jnp.where(t_ids == pos + j, pv, 0.0),
-                                 axis=1)                    # [h]
-                    out += pj[:, None] * vcol_ref[0, j].astype(jnp.float32)
-                y[mi:mi + 1, :d] = out.reshape(1, d)        # o-proj input
+                                 axis=1, keepdims=True)     # [h, 1]
+                    vc3 = vcol_ref[0, j].reshape(h, dh, 1)
+                    out += pj[:, :, None] * vc3.astype(jnp.float32)
+                y[mi:mi + 1, :d] = out.reshape(d, 1).T      # o-proj input
     else:
         # ---- beam-rows self attention: R score phases + R out phases,
         # phase r fetching ONLY row r's ring block (BlockSpec row map).
@@ -387,37 +411,40 @@ def _kernel(pos_ref,                                     # scalar prefetch
         def _self_scores_beam():
             pos = pos_ref[0]
             r = s - c.s_selfk
-            q_r = qh[pl.ds(r * h, h), :]                    # [h, dh]
+            q_r = _q3(qf[pl.ds(r, 1), :])                   # [h, dh, 1]
             sc = _qk_scores(q_r, ring_k_ref, t_ring, lead=(0, 0))
             sc = sc * ring_ks_ref[0, 0].astype(jnp.float32)
             t_ids = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
-            kfresh = kcol_ref[0, pl.ds(r, 1)][0].astype(jnp.float32)
+            kfresh = (kcol_ref[0, pl.ds(r, 1)][0]
+                      .reshape(h, dh, 1).astype(jnp.float32))
             fresh = (jnp.sum(q_r * kfresh, axis=1)
-                     * ksc_ref[0, pl.ds(r, 1)][0])          # [h]
-            sc = jnp.where(t_ids == pos, fresh[:, None], sc)
+                     * ksc_ref[0, pl.ds(r, 1)][0])          # [h, 1]
+            sc = jnp.where(t_ids == pos, fresh, sc)
             sc = jnp.where(t_ids <= pos, sc, _NEG_INF)
             mx = jnp.max(sc, axis=1, keepdims=True)
             e = jnp.exp(sc - mx)
-            pr[pl.ds(r * h, h), :t_ring] = (
+            pr[pl.ds(r * h_band, h), :t_ring] = (
                 e / jnp.sum(e, axis=1, keepdims=True))
 
         @pl.when(in_selfv)
         def _self_out_beam():
             pos = pos_ref[0]
             r = s - c.s_selfv
-            p = pr[pl.ds(r * h, h), :t_ring]
+            p = pr[pl.ds(r * h_band, h), :t_ring]
             t_ids = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
             sv = jnp.broadcast_to(ring_vs_ref[0, 0].astype(jnp.float32),
                                   p.shape)
             sv = jnp.where(t_ids == pos,
-                           vsc_ref[0, pl.ds(r, 1)][0][:, None], sv)
+                           vsc_ref[0, pl.ds(r, 1)][0], sv)
             pv = p * sv
             pv_ring = jnp.where(t_ids == pos, 0.0, pv)
             out = _pv_out(pv_ring, ring_v_ref, t_ring, lead=(0, 0))
-            pj = jnp.sum(jnp.where(t_ids == pos, pv, 0.0), axis=1)  # [h]
-            out += (pj[:, None]
-                    * vcol_ref[0, pl.ds(r, 1)][0].astype(jnp.float32))
-            y[pl.ds(r, 1), :d] = out.reshape(1, d)          # o-proj input
+            pj = jnp.sum(jnp.where(t_ids == pos, pv, 0.0), axis=1,
+                         keepdims=True)                     # [h, 1]
+            vfresh = (vcol_ref[0, pl.ds(r, 1)][0]
+                      .reshape(h, dh, 1).astype(jnp.float32))
+            out += pj[:, :, None] * vfresh
+            y[pl.ds(r, 1), :d] = out.reshape(d, 1).T        # o-proj input
 
     @pl.when(s == c.s_o - 1)
     def _prep_o_acc():
@@ -434,27 +461,25 @@ def _kernel(pos_ref,                                     # scalar prefetch
 
     @pl.when(s == c.s_cq + c.n_cq - 1)
     def _finish_cq():
-        qc = (acc[:, :d] * cq_s_ref[0, 0, :][None, :]
-              + cq_b_ref[0, 0, :][None, :])             # [M, d]
-        for mi in range(m):
-            qh[mi * h:(mi + 1) * h, :] = qc[mi].reshape(h, dh)
+        qf[...] = (acc[:, :d] * cq_s_ref[0, 0, :][None, :]
+                   + cq_b_ref[0, 0, :][None, :])        # [M, d]
 
     if not rows_cross:
         @pl.when(s == c.s_crossk)
         def _cross_scores():
             for mi in range(m):
-                q_m = qh[mi * h:(mi + 1) * h, :]
+                q_m = _q3(qf[mi:mi + 1, :])
                 sc = _qk_scores(q_m, cross_k_ref, k_enc)    # [h, K]
                 sc = sc * cross_ks_ref[0].astype(jnp.float32)
                 mx = jnp.max(sc, axis=1, keepdims=True)
                 e = jnp.exp(sc - mx)
-                pr[mi * h:(mi + 1) * h, :k_enc] = (
+                pr[mi * h_band:mi * h_band + h, :k_enc] = (
                     e / jnp.sum(e, axis=1, keepdims=True))
 
         @pl.when(s == c.s_crossv)
         def _cross_out():
             for mi in range(m):
-                p = pr[mi * h:(mi + 1) * h, :k_enc]
+                p = pr[mi * h_band:mi * h_band + h, :k_enc]
                 # alignment capture: one-hot selector row for this layer;
                 # round to bf16 first (parity with the XLA stacked-bf16
                 # accumulation)
@@ -466,8 +491,8 @@ def _kernel(pos_ref,                                     # scalar prefetch
                                .astype(jnp.float32))
                 align_ref[:, mi, :] += contrib
                 pv = p * cross_vs_ref[0].astype(jnp.float32)
-                out = _pv_out(pv, cross_v_ref, k_enc)       # [h, dh]
-                y[mi:mi + 1, :d] = out.reshape(1, d)
+                out = _pv_out(pv, cross_v_ref, k_enc)       # [h, dh, 1]
+                y[mi:mi + 1, :d] = out.reshape(d, 1).T
             acc[...] = jnp.zeros_like(acc)
     else:
         # ---- multi-stream cross attention: R score phases + R out
@@ -479,18 +504,18 @@ def _kernel(pos_ref,                                     # scalar prefetch
         @pl.when(in_crossk)
         def _cross_scores_row():
             r = s - c.s_crossk
-            q_r = qh[pl.ds(r * h, h), :]                    # [h, dh]
+            q_r = _q3(qf[pl.ds(r, 1), :])                   # [h, dh, 1]
             sc = _qk_scores(q_r, cross_k_ref, k_enc, lead=(0, 0))
             sc = sc * cross_ks_ref[0, 0].astype(jnp.float32)
             mx = jnp.max(sc, axis=1, keepdims=True)
             e = jnp.exp(sc - mx)
-            pr[pl.ds(r * h, h), :k_enc] = (
+            pr[pl.ds(r * h_band, h), :k_enc] = (
                 e / jnp.sum(e, axis=1, keepdims=True))
 
         @pl.when(in_crossv)
         def _cross_out_row():
             r = s - c.s_crossv
-            p = pr[pl.ds(r * h, h), :k_enc]
+            p = pr[pl.ds(r * h_band, h), :k_enc]
             contrib = jax.lax.dot_general(
                 sel_ref[0], p, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)         # [A, K]
@@ -502,7 +527,7 @@ def _kernel(pos_ref,                                     # scalar prefetch
             align_ref[:, pl.ds(r, 1), :] += contrib[:, None, :]
             pv = p * cross_vs_ref[0, 0].astype(jnp.float32)
             out = _pv_out(pv, cross_v_ref, k_enc, lead=(0, 0))
-            y[pl.ds(r, 1), :d] = out.reshape(1, d)
+            y[pl.ds(r, 1), :d] = out.reshape(d, 1).T
 
         @pl.when(s == c.s_co - 1)
         def _prep_co_acc():
@@ -619,21 +644,24 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
         in_specs += [lspec(cross_k), lspec(cross_v),
                      lspec(cross_ks), lspec(cross_vs)]
     in_specs += [lspec(sel)]
+    # fresh K/V columns leave the kernel in sublane-major COLUMN form
+    # ([d, 1] per token; scales [h, 1]) — the [h, dh] view would need a
+    # lane split Mosaic rejects; the XLA caller reshapes for free.
     out_shapes = (
         jax.ShapeDtypeStruct((m, d), jnp.float32),               # hid
         jax.ShapeDtypeStruct((n_align, m, k_enc), jnp.float32),  # align
-        jax.ShapeDtypeStruct((L, m, h, dh), jnp.int8),           # kcol
-        jax.ShapeDtypeStruct((L, m, h, dh), jnp.int8),           # vcol
-        jax.ShapeDtypeStruct((L, m, h), jnp.float32),            # ksc
-        jax.ShapeDtypeStruct((L, m, h), jnp.float32),            # vsc
+        jax.ShapeDtypeStruct((L, m, d, 1), jnp.int8),            # kcol
+        jax.ShapeDtypeStruct((L, m, d, 1), jnp.int8),            # vcol
+        jax.ShapeDtypeStruct((L, m, h, 1), jnp.float32),         # ksc
+        jax.ShapeDtypeStruct((L, m, h, 1), jnp.float32),         # vsc
     )
     out_specs = (
         pl.BlockSpec((m, d), _const2),
         pl.BlockSpec((n_align, m, k_enc), lambda l, s, pos: (0, 0, 0)),
-        pl.BlockSpec((1, m, h, dh), _layermap4),
-        pl.BlockSpec((1, m, h, dh), _layermap4),
-        pl.BlockSpec((1, m, h), _layermap),
-        pl.BlockSpec((1, m, h), _layermap),
+        pl.BlockSpec((1, m, d, 1), _layermap4),
+        pl.BlockSpec((1, m, d, 1), _layermap4),
+        pl.BlockSpec((1, m, h, 1), _layermap4),
+        pl.BlockSpec((1, m, h, 1), _layermap4),
     )
     t_max = max(t_ring, k_enc)
     wide = max(3 * d, f)
@@ -641,8 +669,8 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
         pltpu.VMEM((m, d), jnp.float32),          # xr
         pltpu.VMEM((m, wide), jnp.float32),       # y
         pltpu.VMEM((m, wide), jnp.float32),       # acc
-        pltpu.VMEM((m * h, dh), jnp.float32),     # qh
-        pltpu.VMEM((m * h, t_max), jnp.float32),  # pr
+        pltpu.VMEM((m, d), jnp.float32),          # qf (flat query rows)
+        pltpu.VMEM((m * (-(-h // 8) * 8), t_max), jnp.float32),  # pr (8-aligned bands)
     ]
     kern = functools.partial(
         _kernel, sched=sched, m=m, d=d, f=f, h=h, dh=dh, t_ring=t_ring,
@@ -773,12 +801,19 @@ def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
     # attention T-chunks (512 -> 256) to stay inside the 16 MB scoped
     # VMEM limit at large-v3 geometry (m=6, K=1500, ring 384).
     tile_bytes = 768 * 1024 if m == 1 else 512 * 1024
-    chunk = 512 if m == 1 else 256
+    chunk = 1536 if m > 1 else 512
     arch_key = (L, m, arch.d_model, arch.decoder_ffn_dim, h, dh, t_ring,
                 k_enc, n_align, 127.0, cross_is_int4,
                 jnp.dtype(align_dtype) == jnp.bfloat16, tile_bytes, chunk,
                 beams, rows)
-    return _call_kernel(operands, position, arch_key, interpret=interpret)
+    hid, align, kcol, vcol, ksc, vsc = _call_kernel(
+        operands, position, arch_key, interpret=interpret)
+    # kernel emits fresh columns in sublane-major column form
+    # ([L, M, d, 1] / scales [L, M, h, 1]); restore the head view here
+    # (XLA-land reshape, free)
+    return (hid, align,
+            kcol.reshape(L, m, h, dh), vcol.reshape(L, m, h, dh),
+            ksc[..., 0], vsc[..., 0])
 
 
 def _lm_head(dec, hid):

@@ -200,6 +200,10 @@ def main():
             except Exception as e:                    # transport/compile
                 print(f"{name}: attempt {attempt + 1}/{attempts} failed: "
                       f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                if attempt == attempts - 1:           # full detail once
+                    import traceback
+                    traceback.print_exc()
+                    print(f"{name}: FULL ERROR: {e}", flush=True)
         if out is None:
             continue
         best = float("inf")
