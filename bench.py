@@ -121,12 +121,12 @@ def main():
     align_sel = jnp.asarray(alignment_selector(arch, heads))
     # force fixed-length decode: suppress eot so no row finishes early
     suppress = jnp.asarray(suppress_tokens_mask(arch.vocab_size, (sp.eot,)))
-    # staged ring growth (BIT-IDENTICAL read-volume optimization — the
-    # greedy loop runs over 128-slot ring-width stages). Default ON at
-    # quantum 128 since the measured on-chip A/B win (round 3, large-v3
-    # B=64, 192 tokens: device RTFx 365.3 -> 382.4, e2e 360.1 -> 375.0;
+    # staged ring growth (tokens exact; probabilities ulp-class at wide
+    # rings — see config.py numerics contract). Default quantum 64 from
+    # the round-4 on-chip sweep (large-v3 B=64, 192 tokens, device
+    # RTFx: off 365.8 / 64 -> 390.3 / 128 -> 383.7 / 256 -> 365.4;
     # BENCH_STAGED=0 reproduces the single full-width loop)
-    staged = int(os.environ.get("BENCH_STAGED", "128"))
+    staged = int(os.environ.get("BENCH_STAGED", "64"))
     opts = GenerationOptions(max_initial_timestamp_index=50,
                              staged_ring_quantum=staged)
 

@@ -219,7 +219,7 @@ class GenerationOptions:
     #                                 tested; engages only in the gated
     #                                 int8-weight/int8-self-ring config
     #                                 at batch 1, greedy/sampling.
-    staged_ring_quantum: int = 128  # staged ring growth (greedy/sampling
+    staged_ring_quantum: int = 64   # staged ring growth (greedy/sampling
     #                                 XLA loop): > 0 runs the decode loop
     #                                 in ring-width stages of this many
     #                                 slots (use 128 = one lane tile), so
@@ -241,11 +241,14 @@ class GenerationOptions:
     #                                 a non-staged run must set 0 = off
     #                                 (single full-width loop). Applies
     #                                 to greedy/sampling, beam AND
-    #                                 assisted loops. Default 128 since
-    #                                 the measured on-chip win (round-3
-    #                                 A/B, large-v3 B=64, 192 tokens:
-    #                                 device RTFx 365.3 -> 382.4, e2e
-    #                                 360.1 -> 375.0).
+    #                                 assisted loops. Default 64 from
+    #                                 the round-4 on-chip quantum sweep
+    #                                 (large-v3 B=64, 192 tokens, device
+    #                                 RTFx: off 365.8 / 64 -> 390.3 /
+    #                                 128 -> 383.7 / 256 -> 365.4); the
+    #                                 assisted path was A/B'd separately
+    #                                 at B=1 (staged on beats off,
+    #                                 245.5 vs 251.6 ms prompt-lookup).
 
 
 @dataclass(frozen=True)

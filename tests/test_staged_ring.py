@@ -197,11 +197,12 @@ def test_staged_ring_assisted_self_draft_bitwise():
 
 
 def test_staged_ring_default_quantum_production_ring():
-    """ADVICE r3: the SHIPPED default (staged_ring_quantum=128) was never
-    exercised at a ring wider than one quantum. Decode 150 tokens on an
-    arch with max_target_positions=192 so the default runs a real 2-stage
-    loop, and pin GenerationOptions() (default ON) against
-    staged_ring_quantum=0 (single full-width loop).
+    """ADVICE r3: the SHIPPED default quantum was never exercised at a
+    ring wider than one quantum. Decode 150 tokens on an arch with
+    max_target_positions=192 so the default (64 after the round-4
+    on-chip sweep) runs a real multi-stage loop, and pin
+    GenerationOptions() (default ON) against staged_ring_quantum=0
+    (single full-width loop).
 
     Finding (round 4, this test): at ring widths ABOVE one quantum the
     padded-zeros argument no longer yields bitwise equality — a
@@ -223,7 +224,7 @@ def test_staged_ring_default_quantum_production_ring():
               self_cache_dtype=jnp.int8)
 
     default = GenerationOptions(**base)
-    assert default.staged_ring_quantum == 128
+    assert default.staged_ring_quantum == 64
     got = greedy_decode_jit(params, arch, TINY_SPECIALS, default, enc,
                             prompt, 150, **kw)
     ref = greedy_decode_jit(params, arch, TINY_SPECIALS,
