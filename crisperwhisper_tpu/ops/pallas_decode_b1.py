@@ -688,7 +688,12 @@ def _call_kernel(operands, pos, arch_key, interpret=False):
         ),
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the M>1 variants' unrolled attention temporaries sit just
+            # above the 16M default scoped-VMEM limit at serving shapes
+            # (16.39M measured with 15 alignment heads); v5e has 128M
+            # physical — raise the budget instead of shrinking tiles
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(pos, jnp.int32).reshape(1), *operands)
 

@@ -102,19 +102,32 @@ def main():
             (1, arch.max_source_positions, arch.d_model)).astype(np.float32),
         jnp.bfloat16)
     cross_dtype = jnp.int4 if CROSS == "int4" else jnp.int8
-    cache0 = init_cache(params, arch, enc, cross_dtype=cross_dtype,
-                        cache_len=RING, self_dtype=jnp.int8)
+    ck = dict(cross_dtype=cross_dtype, cache_len=RING,
+              self_dtype=jnp.int8)
     sel = jnp.asarray(alignment_selector(
         arch, ((1, 0), (2, 1), (3, 2), (5, 4))))
 
-    # NB: `params` must be an explicit jit ARGUMENT, never a closure
-    # capture — closed-over arrays are embedded into the serialized HLO,
-    # and ~0.8 GB of quantized weights blows the tunnel's remote-compile
-    # request limit (HTTP 413 "length limit exceeded"; also the real
-    # cause of round 3's 35-min-then-dead compiles).
-    def loop(step_fn):
+    # NB on jit-argument hygiene for the axon backend (both found on
+    # chip, round 4):
+    #  * `params` must be an explicit jit ARGUMENT, never a closure
+    #    capture — closed-over arrays are embedded into the serialized
+    #    HLO, and ~0.8 GB of quantized weights blows the tunnel's
+    #    remote-compile request limit (HTTP 413 "length limit
+    #    exceeded"; also the real cause of round 3's 35-min-then-dead
+    #    compiles).
+    #  * the KV CACHE must be built INSIDE the jitted program, never
+    #    passed as an argument: int4 arrays created at top level carry
+    #    a layout without sub_byte_element_size_in_bits=4 while the
+    #    executable expects it, and axon's relayout device_put loops
+    #    forever (_array_shard_arg -> device_put -> _array_shard_arg,
+    #    RecursionError). The serving library already creates caches
+    #    in-graph, which is why bench.py never hit this. Cache init
+    #    adds ~2 ms of cross-projection work per timed call
+    #    (<2% of a 128-step loop).
+    def loop(step_fn, cache_kwargs):
         @jax.jit
-        def run(params, cache, tok0):
+        def run(params, enc, tok0):
+            cache = init_cache(params, arch, enc, **cache_kwargs)
             def body(i, carry):
                 tok, cache, acc = carry
                 logits, cache, align = step_fn(params, arch, tok, i, cache,
@@ -126,11 +139,12 @@ def main():
             return tok, acc
         return run
 
-    def loop_multi(step_fn, blk):
+    def loop_multi(step_fn, blk, cache_kwargs):
         """Chained M-token verify blocks (the assisted-decoding shape):
         each block feeds its own argmax tail forward."""
         @jax.jit
-        def run(params, cache, tok0):
+        def run(params, enc, tok0):
+            cache = init_cache(params, arch, enc, **cache_kwargs)
             def body(i, carry):
                 tok, cache, acc = carry
                 block = jnp.concatenate(
@@ -147,41 +161,36 @@ def main():
 
     for name in VARIANTS:
         tok0 = jnp.asarray([7], jnp.int32)
-        cache_v = cache0
+        enc_v = enc
         if name.endswith("_multi"):
             from crisperwhisper_tpu.models import decode_step_multi
             from crisperwhisper_tpu.ops.pallas_decode_b1 import (
                 decode_step_b1_multi)
             blk = int(os.environ.get("BLK", "6"))
             fn = loop_multi(decode_step_multi if name == "xla_multi"
-                            else decode_step_b1_multi, blk)
+                            else decode_step_b1_multi, blk, ck)
             denom = (N // blk) * blk
         elif name.endswith("_beam"):
             import functools
             from crisperwhisper_tpu.ops.pallas_decode_b1 import (
                 decode_step_b1_beams)
             nb = int(os.environ.get("NB", "5"))
-            cache_v = init_cache(params, arch, enc, cross_dtype=cross_dtype,
-                                 cache_len=RING, self_dtype=jnp.int8,
-                                 self_batch=nb)
             fn = loop(functools.partial(decode_step, beam_groups=nb)
-                      if name == "xla_beam" else decode_step_b1_beams)
+                      if name == "xla_beam" else decode_step_b1_beams,
+                      dict(ck, self_batch=nb))
             denom = N          # per beam-STEP (all NB rows advance once)
             tok0 = jnp.arange(7, 7 + nb, dtype=jnp.int32)
         elif name.endswith("_rows"):
             from crisperwhisper_tpu.ops.pallas_decode_b1 import (
                 decode_step_rows)
             nr = int(os.environ.get("NROWS", "4"))
-            enc_r = jnp.broadcast_to(enc, (nr,) + enc.shape[1:])
-            cache_v = init_cache(params, arch, enc_r,
-                                 cross_dtype=cross_dtype,
-                                 cache_len=RING, self_dtype=jnp.int8)
+            enc_v = jnp.broadcast_to(enc, (nr,) + enc.shape[1:])
             fn = loop(decode_step if name == "xla_rows"
-                      else decode_step_rows)
+                      else decode_step_rows, ck)
             denom = N          # per STEP (all NROWS streams advance once)
             tok0 = jnp.arange(7, 7 + nr, dtype=jnp.int32)
         else:
-            fn = loop(decode_step if name == "xla" else decode_step_b1)
+            fn = loop(decode_step if name == "xla" else decode_step_b1, ck)
             denom = N
         # Per-variant retry: the tunnel's remote-compile POST dies with
         # "Broken pipe" on ~30-min compiles (NOTES_ROUND4 finding 5), but
@@ -194,7 +203,7 @@ def main():
         for attempt in range(attempts):
             try:
                 t0 = time.perf_counter()
-                out = jax.block_until_ready(fn(params, cache_v, tok0))
+                out = jax.block_until_ready(fn(params, enc_v, tok0))
                 compile_s = time.perf_counter() - t0
                 break
             except Exception as e:                    # transport/compile
@@ -209,7 +218,7 @@ def main():
         best = float("inf")
         for _ in range(ITERS):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(params, cache_v, tok0))
+            out = jax.block_until_ready(fn(params, enc_v, tok0))
             best = min(best, time.perf_counter() - t0)
         print(f"{name:12s} {best:7.3f} s = {best / denom * 1e3:6.2f} "
               f"ms/token (compile {compile_s:.0f} s, tok {int(out[0][0])}, "
