@@ -41,7 +41,7 @@ smokes), BENCH_SPEC_LEN (draft window for the prompt-lookup speculation
 rows, default 5 — the on-chip sweep lever for the single-stream latency
 target), CW_RING_SCATTER (ring-write strategy for the batched
 speculation row — ops/ring_scatter.py), BENCH_STAGED (staged
-ring-growth quantum, default 128 — measured +4-5% on chip, "0" =
+ring-growth quantum, default 64 from the round-4 on-chip sweep, "0" =
 single full-width loop), PLATFORM (force a jax platform; the axon plugin overrides
 JAX_PLATFORMS).
 """
@@ -77,7 +77,11 @@ enable_persistent_cache(tpu_only=True)   # replay compiled programs across
 #                                          item 6; axon compiles are
 #                                          multi-minute)
 
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+# 96 from the round-4 on-chip batch sweep (device RTFx at 192 tok,
+# staged-64: B=64 390.3 / B=96 413.2 / B=128 RESOURCE_EXHAUSTED — the
+# int4 cross caches exceed HBM); serving PipelineOptions keeps the
+# reference-parity batch_size=16 default, this is the throughput shape.
+BATCH = int(os.environ.get("BENCH_BATCH", "96"))
 TOKEN_ROWS = tuple(int(t) for t in
                    os.environ.get("BENCH_TOKEN_ROWS", "128,192,256")
                    .split(","))
