@@ -243,17 +243,27 @@ def main():
     rows = []
     headline = None
     for n_tokens in TOKEN_ROWS:
-        compile_with_retries(lambda: materialize(
-            run_device(params, audio, n_tokens)))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = run_device(params, audio, n_tokens)
-            materialize(out)
+        # the 256-token sensitivity ring at the batch-96 headline shape
+        # exceeds HBM (int4 cross caches; measured RESOURCE_EXHAUSTED in
+        # the round-4 batch sweep) — wide rings run at the fitting batch
+        b_row = BATCH if n_tokens <= 192 else min(BATCH, 64)
+        audio_row = audio[:b_row]
+        try:
+            compile_with_retries(lambda: materialize(
+                run_device(params, audio_row, n_tokens)))
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = run_device(params, audio_row, n_tokens)
+                materialize(out)
+        except Exception as e:      # never let one row kill the bench
+            print(f"# {n_tokens}-token row skipped: "
+                  f"{type(e).__name__}: {str(e)[:150]}", flush=True)
+            continue
         device_s = (time.perf_counter() - t0) / ITERS
 
-        audio_seconds = BATCH * feat_cfg.chunk_length
+        audio_seconds = b_row * feat_cfg.chunk_length
         rtfx_device = audio_seconds / device_s
-        row = {"tokens_per_chunk": n_tokens, "batch": BATCH, "kv": KV,
+        row = {"tokens_per_chunk": n_tokens, "batch": b_row, "kv": KV,
                "self_kv": SELF_KV or "bf16",
                "rtfx_device": round(rtfx_device, 1)}
 
