@@ -307,24 +307,29 @@ def main():
     if os.environ.get("BENCH_B1", "1") != "0":
         n_tokens = HEADLINE_TOKENS
         audio1 = audio[:1]
-        compile_with_retries(lambda: materialize(
-            run_device(params, audio1, n_tokens)))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out1 = run_device(params, audio1, n_tokens)
-            materialize(out1)
-        lat_s = (time.perf_counter() - t0) / ITERS
-        t0 = time.perf_counter()
-        host_postprocess(np.asarray(out1[0]), np.asarray(out1[1]), n_tokens)
-        host1_s = time.perf_counter() - t0
-        row = {"mode": "single_stream", "batch": 1,
-               "tokens_per_chunk": n_tokens,
-               "latency_ms_per_30s_chunk": round(lat_s * 1e3, 1),
-               "host_ms": round(host1_s * 1e3, 1),
-               "rtfx_b1": round(feat_cfg.chunk_length / (lat_s + host1_s),
-                                1)}
-        rows.append(row)
-        print(f"# row: {json.dumps(row)}", flush=True)
+        try:
+            compile_with_retries(lambda: materialize(
+                run_device(params, audio1, n_tokens)))
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out1 = run_device(params, audio1, n_tokens)
+                materialize(out1)
+            lat_s = (time.perf_counter() - t0) / ITERS
+            t0 = time.perf_counter()
+            host_postprocess(np.asarray(out1[0]), np.asarray(out1[1]),
+                             n_tokens)
+            host1_s = time.perf_counter() - t0
+            row = {"mode": "single_stream", "batch": 1,
+                   "tokens_per_chunk": n_tokens,
+                   "latency_ms_per_30s_chunk": round(lat_s * 1e3, 1),
+                   "host_ms": round(host1_s * 1e3, 1),
+                   "rtfx_b1": round(feat_cfg.chunk_length
+                                    / (lat_s + host1_s), 1)}
+            rows.append(row)
+            print(f"# row: {json.dumps(row)}", flush=True)
+        except Exception as e:                    # pragma: no cover
+            print(f"# single_stream row skipped: {type(e).__name__}: "
+                  f"{str(e)[:150]}", flush=True)
 
     # ---- batch-1 whole-step Pallas decoder kernel row -----------------
     # (ops/pallas_decode_b1, GenerationOptions.b1_decode_kernel): the
@@ -382,43 +387,53 @@ def main():
     if os.environ.get("BENCH_SPEC", "1") != "0":
         n_tokens = HEADLINE_TOKENS
         audio1 = audio[:1]
-        compile_with_retries(lambda: materialize(
-            run_device(params, audio1, n_tokens, assistant=True)))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out_s = run_device(params, audio1, n_tokens, assistant=True)
-            materialize(out_s)
-        spec_s = (time.perf_counter() - t0) / ITERS
         plain_s = next((r["latency_ms_per_30s_chunk"] / 1e3 for r in rows
                         if r.get("mode") == "single_stream"), None)
-        row = {"mode": "prompt_lookup_spec", "batch": 1,
-               "tokens_per_chunk": n_tokens, "spec_len": SPEC_LEN,
-               "latency_ms_per_30s_chunk": round(spec_s * 1e3, 1),
-               "speedup_vs_greedy_b1": (round(plain_s / spec_s, 2)
-                                        if plain_s else None)}
-        rows.append(row)
-        print(f"# row: {json.dumps(row)}", flush=True)
+        try:
+            compile_with_retries(lambda: materialize(
+                run_device(params, audio1, n_tokens, assistant=True)))
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out_s = run_device(params, audio1, n_tokens,
+                                   assistant=True)
+                materialize(out_s)
+            spec_s = (time.perf_counter() - t0) / ITERS
+            row = {"mode": "prompt_lookup_spec", "batch": 1,
+                   "tokens_per_chunk": n_tokens, "spec_len": SPEC_LEN,
+                   "latency_ms_per_30s_chunk": round(spec_s * 1e3, 1),
+                   "speedup_vs_greedy_b1": (round(plain_s / spec_s, 2)
+                                            if plain_s else None)}
+            rows.append(row)
+            print(f"# row: {json.dumps(row)}", flush=True)
+        except Exception as e:                    # pragma: no cover
+            print(f"# prompt_lookup_spec row skipped: "
+                  f"{type(e).__name__}: {str(e)[:150]}", flush=True)
 
         # batched prompt-lookup speculation (full device batch): the
         # round-3 state depends on the ring-write strategy
         # (CW_RING_SCATTER, ops/ring_scatter.py) — this row records the
         # current configuration's speedup vs plain batched greedy.
         if os.environ.get("BENCH_SPEC_B64", "1") != "0":
+            # measured/refuted at B=64 (experiments/README.md); B=96
+            # assisted buffers exceed HBM, so this row stays at <=64
+            audio_sb = audio[:min(BATCH, 64)]
             try:
                 compile_with_retries(lambda: materialize(
-                    run_device(params, audio, n_tokens, assistant=True)))
+                    run_device(params, audio_sb, n_tokens,
+                               assistant=True)))
                 t0 = time.perf_counter()
                 for _ in range(ITERS):
-                    materialize(run_device(params, audio, n_tokens,
+                    materialize(run_device(params, audio_sb, n_tokens,
                                            assistant=True))
                 sb_s = (time.perf_counter() - t0) / ITERS
                 plain_b = next(
-                    (audio.shape[0] * feat_cfg.chunk_length
+                    (audio_sb.shape[0] * feat_cfg.chunk_length
                      / r["rtfx_device"] for r in rows
                      if r.get("tokens_per_chunk") == n_tokens
                      and "rtfx_device" in r and "mode" not in r), None)
                 row = {"mode": "prompt_lookup_spec_batched",
-                       "batch": BATCH, "tokens_per_chunk": n_tokens,
+                       "batch": int(audio_sb.shape[0]),
+                       "tokens_per_chunk": n_tokens,
                        "spec_len": SPEC_LEN,
                        "ring_scatter": os.environ.get("CW_RING_SCATTER",
                                                       "scatter"),
@@ -467,18 +482,26 @@ def main():
     if (os.environ.get("BENCH_ROWS", "1") != "0" and BATCH >= 8):
         n_tokens = HEADLINE_TOKENS
         audio8 = audio[:8]
-        compile_with_retries(lambda: materialize(
-            run_device(params, audio8, n_tokens)))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            materialize(run_device(params, audio8, n_tokens))
-        b8_s = (time.perf_counter() - t0) / ITERS
-        row = {"mode": "batch8", "batch": 8, "tokens_per_chunk": n_tokens,
-               "device_s": round(b8_s, 3),
-               "rtfx_device": round(8 * feat_cfg.chunk_length / b8_s, 1)}
-        rows.append(row)
-        print(f"# row: {json.dumps(row)}", flush=True)
-        if on_tpu and W_BITS == 8 and SELF_KV == "int8":
+        try:
+            compile_with_retries(lambda: materialize(
+                run_device(params, audio8, n_tokens)))
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                materialize(run_device(params, audio8, n_tokens))
+            b8_s = (time.perf_counter() - t0) / ITERS
+        except Exception as e:                    # pragma: no cover
+            print(f"# batch8 row skipped: {type(e).__name__}: "
+                  f"{str(e)[:150]}", flush=True)
+            b8_s = None
+        if b8_s is not None:
+            row = {"mode": "batch8", "batch": 8,
+                   "tokens_per_chunk": n_tokens,
+                   "device_s": round(b8_s, 3),
+                   "rtfx_device": round(8 * feat_cfg.chunk_length / b8_s,
+                                        1)}
+            rows.append(row)
+            print(f"# row: {json.dumps(row)}", flush=True)
+        if b8_s is not None and on_tpu and W_BITS == 8 and SELF_KV == "int8":
             opts_rk = GenerationOptions(max_initial_timestamp_index=50,
                                         b1_decode_kernel=True)
             try:
@@ -570,85 +593,90 @@ def main():
     mfu_encoder = None
     decode_floor_frac = None
     if os.environ.get("BENCH_MFU", "1") != "0":
-        PEAK_TFLOPS = 197.0          # v5e bf16
-        HBM_GBS = 819.0              # v5e HBM bandwidth
-        n_tokens = HEADLINE_TOKENS
-        d, t_enc, ffn = (arch.d_model, arch.max_source_positions,
-                         arch.encoder_ffn_dim)
-        L_enc, L_dec = arch.encoder_layers, arch.decoder_layers
-        h, dh = arch.decoder_attention_heads, arch.head_dim
+        try:
+            PEAK_TFLOPS = 197.0          # v5e bf16
+            HBM_GBS = 819.0              # v5e HBM bandwidth
+            n_tokens = HEADLINE_TOKENS
+            d, t_enc, ffn = (arch.d_model, arch.max_source_positions,
+                             arch.encoder_ffn_dim)
+            L_enc, L_dec = arch.encoder_layers, arch.decoder_layers
+            h, dh = arch.decoder_attention_heads, arch.head_dim
 
-        def timed(fn, *args):
-            reduced = jax.jit(lambda *a: jax.tree.reduce(
-                lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)),
-                fn(*a), jnp.float32(0)))
-            float(reduced(*args))                    # compile + warm
-            t0 = time.perf_counter()
-            for _ in range(ITERS):
-                float(reduced(*args))
-            return (time.perf_counter() - t0) / ITERS
+            def timed(fn, *args):
+                reduced = jax.jit(lambda *a: jax.tree.reduce(
+                    lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)),
+                    fn(*a), jnp.float32(0)))
+                float(reduced(*args))                    # compile + warm
+                t0 = time.perf_counter()
+                for _ in range(ITERS):
+                    float(reduced(*args))
+                return (time.perf_counter() - t0) / ITERS
 
-        enc_s = timed(lambda p, a: enc_fn(p, a), params, audio)
-        enc_flops = (4 * 2 * t_enc * d * d            # qkvo projections
-                     + 2 * 2 * t_enc * t_enc * d      # scores + out
-                     + 2 * 2 * t_enc * d * ffn) * BATCH * L_enc
-        mfu_encoder = enc_flops / enc_s / 1e12 / PEAK_TFLOPS
+            enc_s = timed(lambda p, a: enc_fn(p, a), params, audio)
+            enc_flops = (4 * 2 * t_enc * d * d            # qkvo projections
+                         + 2 * 2 * t_enc * t_enc * d      # scores + out
+                         + 2 * 2 * t_enc * d * ffn) * BATCH * L_enc
+            mfu_encoder = enc_flops / enc_s / 1e12 / PEAK_TFLOPS
 
-        enc_out = jax.block_until_ready(enc_fn(params, audio))
-        prompt = jnp.full((BATCH, 1), sp.sot, jnp.int32)
+            enc_out = jax.block_until_ready(enc_fn(params, audio))
+            prompt = jnp.full((BATCH, 1), sp.sot, jnp.int32)
 
-        def dec_only(p, e):
-            res = greedy_decode_jit(
-                p, arch, sp, opts, e, prompt, n_tokens,
-                suppress_mask=suppress, align_sel=align_sel,
-                align_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                cross_cache_dtype=kv_dtype, self_cache_dtype=self_kv_dtype)
-            return (res.sequences, res.align_probs)
+            def dec_only(p, e):
+                res = greedy_decode_jit(
+                    p, arch, sp, opts, e, prompt, n_tokens,
+                    suppress_mask=suppress, align_sel=align_sel,
+                    align_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+                    cross_cache_dtype=kv_dtype, self_cache_dtype=self_kv_dtype)
+                return (res.sequences, res.align_probs)
 
-        dec_s = timed(dec_only, params, enc_out)
-        dec_ms_per_step = dec_s / n_tokens * 1e3
+            dec_s = timed(dec_only, params, enc_out)
+            dec_ms_per_step = dec_s / n_tokens * 1e3
 
-        # bytes streamed per decode step (HBM roofline)
-        ring = 1 + n_tokens                      # prompt + budget
-        q = max(opts.staged_ring_quantum, 1)
-        eff_ring = float(np.mean(                # staged effective width
-            [min(-(-t // q) * q, ring) for t in range(1, n_tokens + 1)]
-        )) if opts.staged_ring_quantum > 0 else float(ring)
-        w_bytes_per = {8: 1.0, 4: 0.5, 0: 2.0}[W_BITS]
-        kv_b = {"int8": 1.0, "int4": 0.5, "bf16": 2.0}[KV]
-        self_b = {"int8": 1.0, "int4": 0.5, "bf16": 2.0}[SELF_KV]
-        weights = L_dec * (3 * d * d + d * d + 2 * d * d
-                           + 2 * d * ffn) * w_bytes_per
-        lm_head = d * arch.vocab_size * 2.0                  # tied, bf16
-        self_ring = (2 * L_dec * BATCH * h * dh * eff_ring * self_b
-                     + 2 * L_dec * BATCH * h * eff_ring * 2.0)  # scales
-        cross = (2 * L_dec * BATCH * h * dh * t_enc * kv_b
-                 + 2 * L_dec * BATCH * h * t_enc * 2.0)
-        step_bytes = weights + lm_head + self_ring + cross
-        floor_ms = step_bytes / (HBM_GBS * 1e9) * 1e3
-        decode_floor_frac = floor_ms / dec_ms_per_step
+            # bytes streamed per decode step (HBM roofline)
+            ring = 1 + n_tokens                      # prompt + budget
+            q = max(opts.staged_ring_quantum, 1)
+            eff_ring = float(np.mean(                # staged effective width
+                [min(-(-t // q) * q, ring) for t in range(1, n_tokens + 1)]
+            )) if opts.staged_ring_quantum > 0 else float(ring)
+            w_bytes_per = {8: 1.0, 4: 0.5, 0: 2.0}[W_BITS]
+            kv_b = {"int8": 1.0, "int4": 0.5, "bf16": 2.0}[KV]
+            self_b = {"int8": 1.0, "int4": 0.5, "bf16": 2.0}[SELF_KV]
+            weights = L_dec * (3 * d * d + d * d + 2 * d * d
+                               + 2 * d * ffn) * w_bytes_per
+            lm_head = d * arch.vocab_size * 2.0                  # tied, bf16
+            self_ring = (2 * L_dec * BATCH * h * dh * eff_ring * self_b
+                         + 2 * L_dec * BATCH * h * eff_ring * 2.0)  # scales
+            cross = (2 * L_dec * BATCH * h * dh * t_enc * kv_b
+                     + 2 * L_dec * BATCH * h * t_enc * 2.0)
+            step_bytes = weights + lm_head + self_ring + cross
+            floor_ms = step_bytes / (HBM_GBS * 1e9) * 1e3
+            decode_floor_frac = floor_ms / dec_ms_per_step
 
-        res_for_dtw = dec_only(params, enc_out)
-        align = jax.block_until_ready(res_for_dtw[1])
-        dtw_s = timed(
-            lambda a: attention_to_jump_times(
-                a.astype(jnp.float32), 7,
-                jnp.full((BATCH,), n_tokens, jnp.int32),
-                jnp.full((BATCH,), arch.max_source_positions, jnp.int32),
-                full_frames=on_tpu), align)
-        util = {"mfu_encoder": round(mfu_encoder, 4),
-                "enc_s": round(enc_s, 3),
-                "decode_ms_per_step": round(dec_ms_per_step, 2),
-                "decode_hbm_floor_ms_per_step": round(floor_ms, 2),
-                "decode_floor_frac": round(decode_floor_frac, 3),
-                "decode_step_gb": round(step_bytes / 1e9, 2),
-                "staged_eff_ring": round(eff_ring, 1),
-                "dtw_s": round(dtw_s, 3),
-                "stage_shares": {
-                    "encode": round(enc_s / (enc_s + dec_s + dtw_s), 3),
-                    "decode": round(dec_s / (enc_s + dec_s + dtw_s), 3),
-                    "dtw": round(dtw_s / (enc_s + dec_s + dtw_s), 3)}}
-        print(f"# utilization: {json.dumps(util)}", flush=True)
+            res_for_dtw = dec_only(params, enc_out)
+            align = jax.block_until_ready(res_for_dtw[1])
+            dtw_s = timed(
+                lambda a: attention_to_jump_times(
+                    a.astype(jnp.float32), 7,
+                    jnp.full((BATCH,), n_tokens, jnp.int32),
+                    jnp.full((BATCH,), arch.max_source_positions, jnp.int32),
+                    full_frames=on_tpu), align)
+            util = {"mfu_encoder": round(mfu_encoder, 4),
+                    "enc_s": round(enc_s, 3),
+                    "decode_ms_per_step": round(dec_ms_per_step, 2),
+                    "decode_hbm_floor_ms_per_step": round(floor_ms, 2),
+                    "decode_floor_frac": round(decode_floor_frac, 3),
+                    "decode_step_gb": round(step_bytes / 1e9, 2),
+                    "staged_eff_ring": round(eff_ring, 1),
+                    "dtw_s": round(dtw_s, 3),
+                    "stage_shares": {
+                        "encode": round(enc_s / (enc_s + dec_s + dtw_s), 3),
+                        "decode": round(dec_s / (enc_s + dec_s + dtw_s), 3),
+                        "dtw": round(dtw_s / (enc_s + dec_s + dtw_s), 3)}}
+            print(f"# utilization: {json.dumps(util)}", flush=True)
+        except Exception as e:                # pragma: no cover
+            print(f"# utilization block skipped: "
+                  f"{type(e).__name__}: {str(e)[:150]}",
+                  flush=True)
 
     if headline is None:                    # HEADLINE_TOKENS not in rows
         headline = next((r.get("rtfx_e2e", r.get("rtfx_device"))
