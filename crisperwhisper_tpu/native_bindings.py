@@ -92,6 +92,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _LIB
 
 
+def _token_bytes(bpe, tok: str) -> bytes:
+    """Resolve a vocab token's raw bytes through the byte-level map.
+    A character outside the 256 byte-level units means the vocab is not
+    pure byte-level BPE — mapping it to an arbitrary byte would silently
+    COLLAPSE distinct tokens to identical byte strings (wrong ids with
+    no error); raise instead, which makes the native codec unavailable
+    and keeps the pure-Python path (whose KeyError matches HF's slow
+    tokenizer) authoritative."""
+    try:
+        return bytes(bpe.byte_decoder[c] for c in tok)
+    except KeyError as e:
+        raise ValueError(
+            f"vocab token {tok!r} is not byte-level (char {e}) — "
+            f"native codec disabled") from e
+
+
 class NativeBPEDecoder:
     """id-sequence -> utf-8 text through the C++ codec.
 
@@ -137,7 +153,7 @@ class NativeBPEDecoder:
         total = 0
         for i in range(n):
             tok = bpe.decoder.get(i, "")
-            raw = bytes(bpe.byte_decoder.get(c, 0) for c in tok)
+            raw = _token_bytes(bpe, tok)
             chunks.append(raw)
             total += len(raw)
             offsets[i + 1] = total
@@ -172,19 +188,21 @@ class NativeBPEDecoder:
 
 def _unicode_class_ranges() -> np.ndarray:
     """[first, last, cls] rows classifying every codepoint the way
-    tokenizer/bpe.py::gpt2_pre_tokenize does (3 space via str.isspace,
-    1 \\p{L}, 2 \\p{N} via unicodedata category; 0 rows omitted — the
-    C++ side defaults unknown codepoints to class 0). Exported from the
-    running Python so native pre-tokenization matches the oracle by
-    construction."""
+    tokenizer/bpe.py::gpt2_pre_tokenize does (3 space via bpe._is_ws —
+    str.isspace MINUS U+001C-001F, matching the regex \\s White_Space
+    semantics; 1 \\p{L}, 2 \\p{N} via unicodedata category; 0 rows
+    omitted — the C++ side defaults unknown codepoints to class 0).
+    Exported from the running Python so native pre-tokenization matches
+    the oracle by construction."""
     import unicodedata
+    from .tokenizer.bpe import _is_ws
     cat = unicodedata.category
     rows: list[tuple[int, int, int]] = []
     start = 0
     prev = 0
     for cp in range(0x110000):
         ch = chr(cp)
-        if ch.isspace():
+        if _is_ws(ch):
             cls = 3
         else:
             k = cat(ch)[0]
@@ -221,27 +239,48 @@ class NativeBPEEncoder:
         self.handle = None
         if self.lib is None:
             return
-        blob = self._build_blob(bpe)
+        # Cache keyed by a CHEAP identity digest (vocab + merges +
+        # unicodedata version) so a warm start skips blob CONSTRUCTION
+        # entirely — the expensive part is the 1.1M-codepoint class
+        # sweep, not the file write. A sidecar records the full-file
+        # sha256 at write time; reuse requires BOTH the key match
+        # (identity) and the sidecar hash match (integrity). The cache
+        # dir is 0700 user-owned, same trust as the decode blob.
         import hashlib
-        digest = hashlib.sha256(blob).hexdigest()
+        import unicodedata
+        key = hashlib.sha256(
+            repr(sorted(bpe.encoder.items())).encode()
+            + repr(sorted(bpe.bpe_ranks.items(),
+                          key=lambda kv: kv[1])).encode()
+            + unicodedata.unidata_version.encode()).hexdigest()
         if cache_path is None:
             cache_dir = os.path.join(
                 os.path.expanduser("~"), ".cache", "crisperwhisper_tpu")
             os.makedirs(cache_dir, mode=0o700, exist_ok=True)
             cache_path = os.path.join(cache_dir,
-                                      f"encoder_{digest[:32]}.cweb")
+                                      f"encoder_{key[:32]}.cweb")
+        sidecar = cache_path + ".sha"
         valid = False
-        if os.path.exists(cache_path):
+        if os.path.exists(cache_path) and os.path.exists(sidecar):
             try:
+                with open(sidecar) as f:
+                    rec_key, rec_sha = f.read().split()
                 with open(cache_path, "rb") as f:
-                    valid = hashlib.sha256(f.read()).hexdigest() == digest
-            except OSError:
+                    valid = (rec_key == key and
+                             hashlib.sha256(f.read()).hexdigest()
+                             == rec_sha)
+            except (OSError, ValueError):
                 valid = False
         if not valid:
+            blob = self._build_blob(bpe)
             tmp = cache_path + f".tmp{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(blob)
             os.replace(tmp, cache_path)
+            tmp = sidecar + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(f"{key} {hashlib.sha256(blob).hexdigest()}")
+            os.replace(tmp, sidecar)
         self.handle = self.lib.cw_encoder_load(cache_path.encode())
 
     @staticmethod
@@ -253,7 +292,7 @@ class NativeBPEEncoder:
         total = 0
         for i in range(n):
             tok = bpe.decoder.get(i, "")
-            raw = bytes(bpe.byte_decoder.get(c, 0) for c in tok)
+            raw = _token_bytes(bpe, tok)
             chunks.append(raw)
             total += len(raw)
             offsets[i + 1] = total
@@ -264,7 +303,7 @@ class NativeBPEEncoder:
         mtotal = 0
         for k, ((left, right), _rank) in enumerate(merges):
             for j, part in enumerate((left, right)):
-                raw = bytes(bpe.byte_decoder.get(c, 0) for c in part)
+                raw = _token_bytes(bpe, part)
                 mparts.append(raw)
                 mtotal += len(raw)
                 moff[2 * k + j + 1] = mtotal

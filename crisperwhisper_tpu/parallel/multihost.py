@@ -42,19 +42,25 @@ _INITIALIZED = False
 def init_multihost(coordinator_address: str | None = None,
                    num_processes: int | None = None,
                    process_id: int | None = None,
-                   local_device_ids: list[int] | None = None) -> None:
+                   local_device_ids: list[int] | None = None,
+                   autodetect: bool = False) -> None:
     """Idempotent `jax.distributed.initialize` wrapper.
 
-    No-ops in a single-process world (num_processes in (None, 1) with no
-    coordinator): single-host serving must not require a coordinator.
-    On TPU pods with a supported launcher (GKE/Cloud TPU metadata), all
-    arguments may be None and jax autodetects; otherwise pass the
-    coordinator ("host0:port"), world size, and this host's rank.
+    No-ops in a single-process world (all arguments None/absent):
+    single-host serving must not require a coordinator. On TPU pods
+    with a supported launcher (GKE/Cloud TPU metadata), pass
+    `autodetect=True` and jax discovers the coordinator/world itself —
+    the flag is required because silent autodetection cannot be
+    distinguished from the single-host no-op (an all-None call on a pod
+    would otherwise quietly serve N disconnected replicas). Otherwise
+    pass the coordinator ("host0:port"), world size, and this host's
+    rank explicitly.
     """
     global _INITIALIZED
     if _INITIALIZED:
         return
-    if coordinator_address is None and (num_processes in (None, 1)):
+    if (not autodetect and coordinator_address is None
+            and num_processes in (None, 1)):
         return                       # single-process: nothing to do
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -12,10 +12,14 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Sequence
 
 from .bpe import ByteLevelBPE
 from .languages import LANGUAGE_CODES, LANGUAGES, TO_LANGUAGE_CODE
+
+# the timestamp-token surface form HF's _filter_timestamp_ids strips
+_TIMESTAMP_RE = re.compile(r"<\|\d+\.\d+\|>")
 
 
 
@@ -201,7 +205,15 @@ class WhisperTokenizer:
         special_set = set(self.all_special_ids)
         for t in ids:
             if self.timestamp_begin is not None and t >= self.timestamp_begin:
-                continue                     # timestamps ignored by decode()
+                # Timestamps are ignored by decode() — but HF strips them
+                # by PATTERN on the rendered string (_filter_timestamp_ids
+                # regex), so an ADDED token whose id happens to live above
+                # the timestamp block (tokenizer.add_tokens appends at
+                # len(vocab)) still renders. Skip only ids that are
+                # unknown up here or whose added string IS a timestamp.
+                s = self.added_decoder.get(t)
+                if s is None or _TIMESTAMP_RE.fullmatch(s):
+                    continue
             if t in special_set or t in self.added_decoder:
                 if pending:
                     parts.append(self.bpe.decode(pending))
