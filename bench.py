@@ -426,11 +426,22 @@ def main():
                     materialize(run_device(params, audio_sb, n_tokens,
                                            assistant=True))
                 sb_s = (time.perf_counter() - t0) / ITERS
-                plain_b = next(
-                    (audio_sb.shape[0] * feat_cfg.chunk_length
-                     / r["rtfx_device"] for r in rows
-                     if r.get("tokens_per_chunk") == n_tokens
-                     and "rtfx_device" in r and "mode" not in r), None)
+                # plain-greedy baseline at the SAME batch (ADVICE r4
+                # item 2: rescaling the batch-96 headline to this row's
+                # capped batch assumed batch-linear throughput)
+                if audio_sb.shape[0] == BATCH:
+                    plain_b = next(
+                        (audio_sb.shape[0] * feat_cfg.chunk_length
+                         / r["rtfx_device"] for r in rows
+                         if r.get("tokens_per_chunk") == n_tokens
+                         and "rtfx_device" in r and "mode" not in r), None)
+                else:
+                    compile_with_retries(lambda: materialize(
+                        run_device(params, audio_sb, n_tokens)))
+                    t0 = time.perf_counter()
+                    for _ in range(ITERS):
+                        materialize(run_device(params, audio_sb, n_tokens))
+                    plain_b = (time.perf_counter() - t0) / ITERS
                 row = {"mode": "prompt_lookup_spec_batched",
                        "batch": int(audio_sb.shape[0]),
                        "tokens_per_chunk": n_tokens,
@@ -438,6 +449,8 @@ def main():
                        "ring_scatter": os.environ.get("CW_RING_SCATTER",
                                                       "scatter"),
                        "device_s": round(sb_s, 3),
+                       "plain_greedy_same_batch_s":
+                           (round(plain_b, 3) if plain_b else None),
                        "speedup_vs_greedy_batched":
                            (round(plain_b / sb_s, 2) if plain_b
                             else None)}

@@ -802,9 +802,12 @@ def _run_kernel(params: Any, arch, x0, position, cache, align_sel,
     )
     # VMEM budget: the M-token variant carries M-row scratch, an [A, M,
     # K] align block, and M*h probability rows on top of the double
-    # -buffered weight tiles — shrink tiles (768 -> 512 KB) and the
-    # attention T-chunks (512 -> 256) to stay inside the 16 MB scoped
-    # VMEM limit at large-v3 geometry (m=6, K=1500, ring 384).
+    # -buffered weight tiles — shrink its weight tiles (768 -> 512 KB)
+    # but keep the attention T-chunks WIDE (1536 = one full cross pass):
+    # the scoped-VMEM stack is dominated by unrolled chunk temporaries,
+    # so fewer, wider slabs fit where many narrow chunks blew the budget
+    # (27M -> 45M with chunk=256; NOTES_ROUND4 finding 6). Runs under a
+    # raised 32 MB scoped-VMEM limit (_call_kernel vmem_limit_bytes).
     tile_bytes = 768 * 1024 if m == 1 else 512 * 1024
     chunk = 1536 if m > 1 else 512
     arch_key = (L, m, arch.d_model, arch.decoder_ffn_dim, h, dh, t_ring,

@@ -209,10 +209,9 @@ class WhisperTokenizer:
                 # by PATTERN on the rendered string (_filter_timestamp_ids
                 # regex), so an ADDED token whose id happens to live above
                 # the timestamp block (tokenizer.add_tokens appends at
-                # len(vocab)) still renders. Skip only ids that are
-                # unknown up here or whose added string IS a timestamp.
-                s = self.added_decoder.get(t)
-                if s is None or _TIMESTAMP_RE.fullmatch(s):
+                # len(vocab)) still renders (and then loses any embedded
+                # timestamp-shaped substring to the regex pass below).
+                if t not in self.added_decoder:
                     continue
             if t in special_set or t in self.added_decoder:
                 if pending:
@@ -231,7 +230,12 @@ class WhisperTokenizer:
                 pending.append(t)
         if pending:
             parts.append(self.bpe.decode(pending))
-        return "".join(parts)
+        # HF strips timestamp-SHAPED substrings from the final rendered
+        # string (_filter_timestamp_ids, tokenization_whisper.py:745):
+        # literal '<|1.23|>' text spelled by ordinary BPE tokens, or
+        # embedded inside a longer added-token string, is stripped too —
+        # not just real timestamp ids (ADVICE r4 item 1).
+        return _TIMESTAMP_RE.sub("", "".join(parts))
 
     def _decode_with_timestamps(self, token_ids: list[int],
                                 skip_special_tokens: bool,

@@ -183,10 +183,21 @@ void* cw_encoder_load(const char* path) {
   auto* e = new CwEncoder();
   auto fail = [&]() { delete e; std::fclose(f); return nullptr; };
 
+  // Offset tables come from an on-disk blob; validate counts and
+  // monotonicity before substr() — a malformed/corrupt cache must return
+  // nullptr (Python falls back to the pure path), never throw
+  // std::out_of_range across the extern-C boundary (ADVICE r4 item 4).
+  constexpr uint32_t kMaxEntries = 1u << 24;   // 16M >> any BPE vocab
+  auto monotonic = [](const std::vector<uint32_t>& off) {
+    for (size_t i = 1; i < off.size(); ++i)
+      if (off[i] < off[i - 1]) return false;
+    return true;
+  };
   uint32_t n_tok = 0;
-  if (!read_u32(f, &n_tok)) return fail();
+  if (!read_u32(f, &n_tok) || n_tok > kMaxEntries) return fail();
   std::vector<uint32_t> toff(n_tok + 1);
   if (std::fread(toff.data(), 4, n_tok + 1, f) != n_tok + 1) return fail();
+  if (!monotonic(toff)) return fail();
   std::string tdata(toff[n_tok], '\0');
   if (toff[n_tok] &&
       std::fread(&tdata[0], 1, toff[n_tok], f) != toff[n_tok]) return fail();
@@ -201,9 +212,10 @@ void* cw_encoder_load(const char* path) {
   e->n_vocab = n_tok;
 
   uint32_t n_merges = 0;
-  if (!read_u32(f, &n_merges)) return fail();
+  if (!read_u32(f, &n_merges) || n_merges > kMaxEntries) return fail();
   std::vector<uint32_t> moff(2 * static_cast<size_t>(n_merges) + 1);
   if (std::fread(moff.data(), 4, moff.size(), f) != moff.size()) return fail();
+  if (!monotonic(moff)) return fail();
   std::string mdata(moff.back(), '\0');
   if (moff.back() &&
       std::fread(&mdata[0], 1, moff.back(), f) != moff.back()) return fail();
@@ -222,7 +234,7 @@ void* cw_encoder_load(const char* path) {
   }
 
   uint32_t n_ranges = 0;
-  if (!read_u32(f, &n_ranges)) return fail();
+  if (!read_u32(f, &n_ranges) || n_ranges > kMaxEntries) return fail();
   e->cls_ranges.resize(n_ranges);
   for (uint32_t i = 0; i < n_ranges; ++i) {
     CwRange& r = e->cls_ranges[i];

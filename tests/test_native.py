@@ -130,3 +130,31 @@ def test_native_encode_oov_falls_back_to_python(lib, tok, tmp_path):
         enc.encode("%%%")          # '%' byte has no id in `keep`
     with pytest.raises(KeyError):
         small.encode("%%%")        # full path surfaces the Python error
+
+
+def test_encoder_load_rejects_malformed_blob(lib, tmp_path):
+    """cw_encoder_load must return NULL on corrupt offset tables instead
+    of throwing std::out_of_range across the extern-C boundary (ADVICE
+    r4 item 4): non-monotonic offsets, truncated data, absurd counts."""
+    import numpy as np
+
+    def load(payload: bytes):
+        p = tmp_path / "bad.cweb"
+        p.write_bytes(payload)
+        return lib.cw_encoder_load(str(p).encode())
+
+    u32 = lambda v: np.uint32(v).tobytes()
+    head = b"CWEB" + u32(1)
+    # non-monotonic token offsets: substr would see pos > size
+    bad_toff = (head + u32(2) + u32(0) + u32(10) + u32(4) + b"abcd")
+    assert load(bad_toff) is None
+    # absurd token count (allocation bomb)
+    assert load(head + u32(0xFFFFFFF0)) is None
+    # truncated: claims 3 tokens, offsets table missing
+    assert load(head + u32(3) + u32(0)) is None
+    # valid empty tables but non-monotonic MERGE offsets
+    bad_moff = (head + u32(1) + u32(0) + u32(1) + b"a"
+                + u32(1) + u32(0) + u32(8) + u32(2) + b"ab")
+    assert load(bad_moff) is None
+    # wrong magic
+    assert load(b"NOPE" + u32(1)) is None

@@ -36,6 +36,12 @@ def test_decode_parity(toks):
         [tsb + 0, *hf(" hello world", add_special_tokens=False)["input_ids"],
          tsb + 25, tsb + 25, *hf(" the dog", add_special_tokens=False)
          ["input_ids"], tsb + 80, lay["eot"]],
+        # literal timestamp-SHAPED text spelled by ordinary BPE tokens must
+        # be stripped exactly like real timestamp ids: HF's
+        # _filter_timestamp_ids regex runs over the rendered string
+        # (tokenization_whisper.py:745), not over ids (ADVICE r4 item 1)
+        [tsb + 0, *hf(" a<|1.23|>b <|0.50|>", add_special_tokens=False)
+         ["input_ids"], tsb + 30],
     ]
     for ids in seqs:
         for skip in (False, True):
