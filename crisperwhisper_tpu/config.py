@@ -189,6 +189,32 @@ class GenerationOptions:
     max_initial_timestamp_index: int = 50      # 1.0 s (hf logits_process.py:1946)
     language: str | None = None
     task: str = "transcribe"
+    forced_tokens: tuple[int | None, ...] | None = None
+    #                               legacy `forced_decoder_ids` VALUES
+    #                               (positions 1..N after sot), already
+    #                               validated by hub.load_generation_options
+    #                               (hf generation_whisper.py:1503-1541).
+    #                               Consumed by build_prompt only when no
+    #                               language token is pinned, exactly like
+    #                               the reference's task/language-unset
+    #                               gate. A None in slot 0 = undefined
+    #                               language (detection follows).
+    prompt_ids: tuple[int, ...] | None = None
+    #                               user prompt injection — the output of
+    #                               WhisperTokenizer.get_prompt_ids
+    #                               ([<|startofprev|>, *text ids]); biases
+    #                               decoding toward domain vocabulary (hf
+    #                               generate(prompt_ids=...),
+    #                               generation_whisper.py:1875-1943).
+    prompt_condition_type: str = "first-segment"
+    #                               "first-segment": the prompt seeds the
+    #                               previous-context buffer and is trimmed
+    #                               away as real segments accumulate;
+    #                               "all-segments": every window's
+    #                               conditioned prefix re-begins with the
+    #                               full prompt (requires
+    #                               condition_on_prev_tokens=True, hf
+    #                               _set_prompt_condition_type :1755-1771).
     time_precision: float = 0.02
     prompt_seed: int = 0
     kv_cache_int8: bool = False     # int8 cross-KV cache (serving)

@@ -229,8 +229,23 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
         init_tokens = build_prompt(
             specials, b, language_token=language_token,
             task_token=task_token,
-            return_timestamps=opts.return_timestamps)
+            return_timestamps=opts.return_timestamps,
+            forced_tokens=opts.forced_tokens)
     conditioning = bool(opts.condition_on_prev_tokens)
+    # --- user prompt injection (hf generate(prompt_ids=...),
+    # generation_whisper.py:1875-1943 + _prepare_segments :1130-1139) ---
+    prompt_ids = (np.asarray(opts.prompt_ids, np.int32)
+                  if opts.prompt_ids is not None else None)
+    if opts.prompt_condition_type not in ("first-segment", "all-segments"):
+        raise ValueError(
+            f"prompt_condition_type={opts.prompt_condition_type!r} does not "
+            "exist; use 'first-segment' or 'all-segments'")
+    if (prompt_ids is not None
+            and opts.prompt_condition_type == "all-segments"
+            and not conditioning):
+        raise ValueError(
+            "Make sure to set condition_on_prev_tokens=True when setting "
+            "prompt_condition_type='all-segments'.")
     # When conditioning applies, the prompt region is a STATIC cut_off+1
     # slot left-padded window; iterations without prev context use the
     # bare init tokens, exactly like the reference (:1900 condition). Two
@@ -243,8 +258,18 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
     # decoder_position_ids = cumsum(mask)-1) via a per-row pos_offset on
     # the embedding gather — no dynamic shapes either way.
     cut_off = arch.max_target_positions // 2 - 1
-    prev_width = (cut_off + 1) if conditioning else 0
-    do_condition = np.zeros((b,), bool)
+    # the conditioned prefix begins with <|startofprev|> — or, in
+    # all-segments prompt mode, with the FULL user prompt — so the static
+    # window widens by the bos length (hf _pad_to_max_length never trims
+    # the bos_token_tensor)
+    cond_bos = (prompt_ids.astype(np.int64)
+                if (prompt_ids is not None
+                    and opts.prompt_condition_type == "all-segments")
+                else np.asarray([specials.sot_prev], np.int64))
+    prev_width = (cut_off + len(cond_bos)) if conditioning else 0
+    # rows start out willing to condition (hf generation_whisper.py:1316);
+    # window 1 still decodes bare unless segments were prompt-seeded below
+    do_condition = np.full((b,), conditioning, bool)
 
     want_ts = opts.return_token_timestamps and len(opts.alignment_heads) > 0
     suppress = (jnp.asarray(suppress_tokens_mask(arch.vocab_size,
@@ -259,6 +284,20 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
 
     rng = rng if rng is not None else jax.random.PRNGKey(opts.prompt_seed)
     current_segments: list[list[dict[str, Any]]] = [[] for _ in range(b)]
+    prompt_seeded = False
+    if prompt_ids is not None and opts.prompt_condition_type == \
+            "first-segment":
+        # the prompt seeds the previous-context buffer as a synthetic
+        # first "segment" (leading <|startofprev|> stripped — the
+        # conditioned prefix re-adds it as the bos); trimmed back out of
+        # the returned segments below (hf :920 final_segments)
+        seed = (prompt_ids[1:] if len(prompt_ids) and
+                prompt_ids[0] == specials.sot_prev else prompt_ids)
+        current_segments = [[{"tokens": seed.astype(np.int64),
+                              "token_timestamps":
+                                  np.zeros(len(seed), np.float32)}]
+                            for _ in range(b)]
+        prompt_seeded = True
 
     while (seek < max_frames).any():
         if monitor_progress is not None:
@@ -311,7 +350,7 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 [current_segments[i] if do_condition[i] else []
                  for i in rows],
                 specials.eot, padding_side="left", cut_off_length=cut_off,
-                bos_token=np.asarray([specials.sot_prev], np.int64),
+                bos_token=cond_bos,
                 skip_ending_double_timestamps=True,
                 timestamp_begin=specials.timestamp_begin,
                 fixed_total_length=prev_width)
@@ -328,6 +367,12 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 # per-row offset is just the pad count; shapes stay
                 # static — only the pos_emb gather shifts.
                 iter_pos_offset = (~iter_mask).sum(axis=1).astype(np.int32)
+        elif prompt_ids is not None:
+            # non-conditioned prompt injection: the raw prompt prefixes
+            # the init tokens with NO attention mask — prompt slots are
+            # attended and consume positions (hf :1932-1936)
+            iter_prompt = np.concatenate(
+                [np.tile(prompt_ids, (len(rows), 1)), iter_prompt], axis=1)
         p = iter_prompt.shape[1]
         max_new = min(opts.max_new_tokens, arch.max_target_positions - p)
         # the SOT slot inside the (possibly prev-conditioned) prompt — the
@@ -388,12 +433,16 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
             seek[i] += offset
             current_segments[i] += segs
 
+    # first-segment prompt mode: the seeded prompt "segment" is context,
+    # not output — trim it before padding (hf :918-922 final_segments)
+    final_segments = ([segs[1:] for segs in current_segments]
+                      if prompt_seeded else current_segments)
     if want_ts:
         sequences, token_ts = pad_segments_to_max_length(
-            current_segments, specials.eot, return_token_timestamps=True)
+            final_segments, specials.eot, return_token_timestamps=True)
     else:
-        sequences = pad_segments_to_max_length(current_segments,
+        sequences = pad_segments_to_max_length(final_segments,
                                                specials.eot)
         token_ts = None
     return GenerateOutput(sequences=sequences, token_timestamps=token_ts,
-                          segments=current_segments)
+                          segments=final_segments)

@@ -96,6 +96,26 @@ def load_generation_options(gc: dict[str, Any],
         t = gc["temperature"]
         kw["temperatures"] = tuple(t) if isinstance(t, (list, tuple)) \
             else (float(t),)
+    if gc.get("forced_decoder_ids"):
+        # legacy init-token attribute, still present in original whisper
+        # checkpoints (hf generation_whisper.py:1503-1541): entries must
+        # cover consecutive positions starting at 1; their VALUES become
+        # the init tokens after sot (ignored when language/task are
+        # pinned — build_prompt applies that gate). A None value in
+        # slot 1 means "detect language".
+        fdi = [tuple(e) for e in gc["forced_decoder_ids"]]
+        if fdi and fdi[0][0] == 1:
+            values: list[int | None] = []
+            i = 1
+            while fdi and fdi[0][0] == i:
+                values.append(fdi.pop(0)[1])
+                i += 1
+            if fdi:
+                raise ValueError(
+                    f"forced_decoder_ids {fdi} does not follow the prompt "
+                    "pattern of Whisper: needs an entry for every index "
+                    f">= 1 and < {fdi[0][0]}")
+            kw["forced_tokens"] = tuple(values)
     return replace(base, **kw)
 
 
@@ -194,5 +214,12 @@ def load_pipeline(model_dir: str, *,
                        feat_cfg=feat_cfg, mesh=mesh,
                        assistant=assistant_obj)
     if language is None and cfgs["generation_config"].get("is_multilingual"):
-        pipe.detect_language = True
+        # a legacy forced_decoder_ids that pins a language token makes
+        # the language DEFINED — no detection (hf is_lang_id_undefined,
+        # generation_whisper.py:1543)
+        lang_defined = (opts.forced_tokens is not None
+                        and len(opts.forced_tokens) > 0
+                        and opts.forced_tokens[0] is not None)
+        if not lang_defined:
+            pipe.detect_language = True
     return pipe

@@ -459,7 +459,14 @@ def decode_step(params: Params, arch: WhisperArch, tokens: jax.Array,
         """Attention over sequence-last K/V: q [B,H,Tq,Dh],
         k_dk/v_dk [B,H,Dh,T] (+ optional int8 per-position scales
         [B,H,1,T] folded outside the dots). Returns (out [B,H,Tq,Dh],
-        probs [B,H,Tq,T] f32)."""
+        probs [B,H,Tq,T] f32).
+
+        An int8 x int8 MXU reformulation (quantize q and prob rows,
+        native-int dots, scales folded on int32 partials) was built and
+        measured on chip in round 5 — REFUTED: cross-attention is a wash
+        and W8A8 dense LOSES 1.56x in-context. The dequant-into-dot VPU
+        formulation below remains the measured optimum
+        (experiments/decode_int8_mxu.py + experiments/README.md)."""
         s = jnp.einsum("bhqd,bhdt->bhqt", q, k_dk.astype(q.dtype),
                        preferred_element_type=jnp.float32)
         if k_scale is not None:

@@ -132,7 +132,11 @@ class ASRPipeline:
 
     def __call__(self, inputs: Any, return_timestamps: str | bool | None
                  = None, adjust_pauses_threshold: float | None = None,
-                 return_language: bool = False):
+                 return_language: bool = False,
+                 prompt: Any | None = None):
+        """prompt: optional per-call domain-vocabulary bias — a string
+        (tokenized via tokenizer.get_prompt_ids) or a prompt-id array
+        (hf pipeline generate_kwargs={'prompt_ids': ...})."""
         single = not isinstance(inputs, (list, tuple))
         audios = [inputs] if single else list(inputs)
         results = self.transcribe_batch(
@@ -141,12 +145,14 @@ class ASRPipeline:
                                if return_timestamps is not None
                                else self.pipe_opts.return_timestamps),
             return_language=return_language,
-            adjust_pauses_threshold=adjust_pauses_threshold)
+            adjust_pauses_threshold=adjust_pauses_threshold,
+            prompt=prompt)
         return results[0] if single else results
 
     def transcribe_batch(self, audios: Sequence[Any], return_timestamps,
                          return_language=False,
-                         adjust_pauses_threshold: float | None = None):
+                         adjust_pauses_threshold: float | None = None,
+                         prompt: Any | None = None):
         cfg = self.feat_cfg
         sr = cfg.sampling_rate
         sl_s, sr_s = self.pipe_opts.strides()
@@ -167,7 +173,8 @@ class ASRPipeline:
 
         with self.meter.measure(total_audio_s, "pipeline"):
             chunk_outputs = self._run_chunks(chunks, n_samples,
-                                             return_timestamps)
+                                             return_timestamps,
+                                             prompt=prompt)
 
         results = []
         for idx in range(len(audios)):
@@ -192,7 +199,8 @@ class ASRPipeline:
 
     # ------------------------------------------------------------------
     def _run_chunks(self, chunks: list[Chunk], n_samples: int,
-                    return_timestamps) -> list[dict]:
+                    return_timestamps, prompt: Any | None = None
+                    ) -> list[dict]:
         """Batch chunk windows into static [B, 480000] device batches and
         decode each with the seek-loop generate."""
         bs = self.pipe_opts.batch_size
@@ -201,6 +209,12 @@ class ASRPipeline:
         if not want_words and opts.return_token_timestamps:
             opts = GenerationOptions(
                 **{**opts.__dict__, "return_token_timestamps": False})
+        if prompt is not None:
+            ids = (self.tokenizer.get_prompt_ids(prompt)
+                   if isinstance(prompt, str) else np.asarray(prompt))
+            opts = GenerationOptions(
+                **{**opts.__dict__,
+                   "prompt_ids": tuple(int(t) for t in ids)})
 
         data_shard = None
         if self.mesh is not None:

@@ -160,8 +160,46 @@ class ByteLevelBPE:
 
     @classmethod
     def from_dir(cls, model_dir: str) -> "ByteLevelBPE":
-        return cls.from_files(os.path.join(model_dir, "vocab.json"),
-                              os.path.join(model_dir, "merges.txt"))
+        """Load from a checkpoint dir. Prefers the slow-format pair
+        (vocab.json + merges.txt); falls back to parsing the fast-format
+        tokenizer.json (vocab + merges are embedded under model.*),
+        matching the file set hf tokenization_whisper_fast.py accepts —
+        a fast-format-only export must still load."""
+        vocab = os.path.join(model_dir, "vocab.json")
+        merges = os.path.join(model_dir, "merges.txt")
+        if os.path.exists(vocab) and os.path.exists(merges):
+            return cls.from_files(vocab, merges)
+        fast = os.path.join(model_dir, "tokenizer.json")
+        if os.path.exists(fast):
+            return cls.from_tokenizer_json(fast)
+        raise FileNotFoundError(
+            f"no tokenizer files in {model_dir}: need vocab.json+merges.txt "
+            "or tokenizer.json")
+
+    @classmethod
+    def from_tokenizer_json(cls, tokenizer_json: str) -> "ByteLevelBPE":
+        """Parse a HuggingFace fast-tokenizer export. The BPE model block
+        carries `vocab` (token -> id) and `merges` — historically a list
+        of "left right" strings, since tokenizers 0.20 a list of
+        [left, right] pairs; both are accepted."""
+        with open(tokenizer_json, encoding="utf-8") as f:
+            blob = json.load(f)
+        model = blob.get("model", {})
+        if model.get("type") not in (None, "BPE"):
+            raise ValueError(
+                f"tokenizer.json model type {model.get('type')!r} is not BPE")
+        encoder = model.get("vocab")
+        raw_merges = model.get("merges")
+        if not isinstance(encoder, dict) or raw_merges is None:
+            raise ValueError(
+                f"{tokenizer_json} has no embedded BPE vocab/merges")
+        merges: list[tuple[str, str]] = []
+        for m in raw_merges:
+            pair = tuple(m.split(" ", 1)) if isinstance(m, str) else tuple(m)
+            if len(pair) != 2:
+                raise ValueError(f"malformed merge entry: {m!r}")
+            merges.append(pair)  # type: ignore[arg-type]
+        return cls(encoder, dict(zip(merges, range(len(merges)))))
 
     # --- merges ---------------------------------------------------------
     def bpe(self, token: str) -> str:

@@ -15,6 +15,8 @@ import os
 import re
 from typing import Sequence
 
+import numpy as np
+
 from .bpe import ByteLevelBPE
 from .languages import LANGUAGE_CODES, LANGUAGES, TO_LANGUAGE_CODE
 
@@ -99,6 +101,16 @@ class WhisperTokenizer:
                 legacy = json.load(f)
             added.update(legacy)
             flags.update({t: True for t in legacy})
+        elif os.path.exists(os.path.join(model_dir, "tokenizer.json")):
+            # fast-format-only export: added tokens live in the top-level
+            # "added_tokens" array of tokenizer.json ([{id, content,
+            # special}, ...]) — same data hf's fast tokenizer reads.
+            with open(os.path.join(model_dir, "tokenizer.json"),
+                      encoding="utf-8") as f:
+                fast = json.load(f)
+            for spec in fast.get("added_tokens", []):
+                added[spec["content"]] = int(spec["id"])
+                flags[spec["content"]] = bool(spec.get("special", True))
         cfg_path = os.path.join(model_dir, "tokenizer_config.json")
         if os.path.exists(cfg_path):
             with open(cfg_path, encoding="utf-8") as f:
@@ -189,6 +201,21 @@ class WhisperTokenizer:
         if start < n:
             out.extend(self.bpe.encode(text[start:]))
         return out
+
+    def get_prompt_ids(self, text: str) -> np.ndarray:
+        """Convert prompt text to ids for generate(prompt_ids=...)
+        (tokenization_whisper.py:865-877): [<|startofprev|>, *ids of
+        ' ' + text.strip()]. Raises on text that maps to any special or
+        timestamp token — prompts must be plain vocabulary."""
+        ids = self.encode(" " + text.strip())
+        if self.all_special_ids:
+            first_special = self.all_special_ids[0]
+            bad = next((t for t in ids if t >= first_special), None)
+            if bad is not None:
+                raise ValueError(
+                    "Encountered text in the prompt corresponding to "
+                    f"disallowed special token: {self.id_to_token(bad)}.")
+        return np.asarray([self.sot_prev] + list(ids), np.int32)
 
     # --- decode (tokenization_whisper.py:675-792) ---------------------------
     def decode(self, token_ids: Sequence[int],

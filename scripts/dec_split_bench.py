@@ -33,6 +33,13 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 ITERS = int(os.environ.get("ITERS", "3"))
 RING = int(os.environ.get("RING", "256"))
+# cache dtypes (serving defaults int4 cross / int8 self); CROSS=int8 is
+# the int8-MXU A/B partner — with an int8 cache the MXU dot needs no
+# per-element widening pass at all (experiments/decode_int8_mxu.py)
+CROSS = {"int4": jnp.int4, "int8": jnp.int8,
+         "bf16": jnp.bfloat16}[os.environ.get("CROSS", "int4")]
+SELF = {"int4": jnp.int4, "int8": jnp.int8,
+        "bf16": jnp.bfloat16}[os.environ.get("SELF", "int8")]
 
 VARIANTS = {
     # name: sublayers removed
@@ -67,8 +74,8 @@ def main():
         def run(params, tokens0, enc):
             # cache built IN-GRAPH: s4 arrays cannot be jit arguments on
             # the axon backend (see models/quantize.py caveat)
-            cache = init_cache(params, arch, enc, cross_dtype=jnp.int4,
-                               self_dtype=jnp.int8, cache_len=RING)
+            cache = init_cache(params, arch, enc, cross_dtype=CROSS,
+                               self_dtype=SELF, cache_len=RING)
             acc0 = jnp.zeros((B, 15, n_k), jnp.float32)
 
             def body(i, carry):

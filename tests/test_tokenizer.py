@@ -359,3 +359,60 @@ def test_encode_recognizes_added_tokens(toks):
     for t in texts:
         assert ours.encode(t) == hf(t, add_special_tokens=False
                                     )["input_ids"], t
+
+
+def test_tokenizer_json_only_checkpoint_loads(vocab, tmp_path):
+    """A fast-format-only export (tokenizer.json, no vocab.json /
+    merges.txt) must load and encode/decode identically (hf
+    tokenization_whisper_fast.py accepts that file set). Covers both
+    merges encodings: "a b" strings and [a, b] pairs."""
+    import json
+    import os
+    import shutil
+
+    from crisperwhisper_tpu.tokenizer import WhisperTokenizer
+    from crisperwhisper_tpu.tokenizer.bpe import ByteLevelBPE
+
+    src, layout = vocab
+    full = WhisperTokenizer.from_dir(src)
+    with open(os.path.join(src, "vocab.json"), encoding="utf-8") as f:
+        vocab_map = json.load(f)
+    merges = []
+    with open(os.path.join(src, "merges.txt"), encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line and not line.startswith("#version"):
+                merges.append(line)
+    added_tokens = [
+        {"id": i, "content": t, "special": True}
+        for t, i in sorted(layout["added"].items(), key=lambda kv: kv[1])]
+
+    for pair_style in (False, True):
+        d = tmp_path / f"fastonly_{pair_style}"
+        d.mkdir()
+        blob = {
+            "version": "1.0",
+            "added_tokens": added_tokens,
+            "model": {
+                "type": "BPE",
+                "vocab": vocab_map,
+                "merges": ([m.split(" ", 1) for m in merges]
+                           if pair_style else merges),
+            },
+        }
+        with open(d / "tokenizer.json", "w", encoding="utf-8") as f:
+            json.dump(blob, f, ensure_ascii=False)
+        tok = WhisperTokenizer.from_dir(str(d))
+        for text in [" hello world", " the cat [UH] sat", "a b  c"]:
+            assert tok.encode(text) == full.encode(text), (pair_style, text)
+        ids = full.encode(" hello world") + [layout["added"][
+            "<|endoftext|>"]]
+        assert tok.decode(ids) == full.decode(ids)
+        assert tok.added_tokens == full.added_tokens
+        assert tok.all_special_ids == full.all_special_ids
+
+    # no tokenizer files at all -> loud FileNotFoundError
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="tokenizer"):
+        ByteLevelBPE.from_dir(str(empty))
