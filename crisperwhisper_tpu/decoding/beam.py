@@ -448,12 +448,12 @@ def beam_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
                       align_probs=align_probs.astype(jnp.float32))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("arch", "specials", "opts", "max_new_tokens",
-                     "num_beams", "length_penalty", "return_timestamps",
-                     "align_dtype", "cross_cache_dtype",
-                     "self_cache_dtype"))
+_BEAM_STATIC = ("arch", "specials", "opts", "max_new_tokens",
+                "num_beams", "length_penalty", "return_timestamps",
+                "align_dtype", "cross_cache_dtype", "self_cache_dtype")
+
+
+@functools.partial(jax.jit, static_argnames=_BEAM_STATIC)
 def beam_decode_jit(params, arch, specials, opts, encoder_out, prompt,
                     max_new_tokens: int, num_beams: int,
                     length_penalty: float = 1.0, suppress_mask=None,

@@ -325,22 +325,22 @@ def greedy_decode(params: Any, arch: WhisperArch, specials: SpecialTokens,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("arch", "specials", "opts", "max_new_tokens",
-                     "return_timestamps", "align_dtype",
-                     "cross_cache_dtype", "self_cache_dtype"))
-def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
-                      opts: GenerationOptions, encoder_out, prompt,
-                      max_new_tokens: int, suppress_mask=None,
-                      begin_suppress_mask=None, align_sel=None,
-                      return_timestamps: bool = True,
-                      temperature=0.0, rng=None,
-                      align_dtype: jnp.dtype = jnp.float32,
-                      cross_cache_dtype: jnp.dtype | None = None,
-                      self_cache_dtype: jnp.dtype | None = None,
-                      prompt_mask=None, sot_position: int = 0,
-                      pos_offset=None) -> DecodeResult:
+_GREEDY_STATIC = ("arch", "specials", "opts", "max_new_tokens",
+                  "return_timestamps", "align_dtype",
+                  "cross_cache_dtype", "self_cache_dtype")
+
+
+def _greedy_decode_entry(params, arch: WhisperArch, specials: SpecialTokens,
+                         opts: GenerationOptions, encoder_out, prompt,
+                         max_new_tokens: int, suppress_mask=None,
+                         begin_suppress_mask=None, align_sel=None,
+                         return_timestamps: bool = True,
+                         temperature=0.0, rng=None,
+                         align_dtype: jnp.dtype = jnp.float32,
+                         cross_cache_dtype: jnp.dtype | None = None,
+                         self_cache_dtype: jnp.dtype | None = None,
+                         prompt_mask=None, sot_position: int = 0,
+                         pos_offset=None) -> DecodeResult:
     return greedy_decode(params, arch, specials, opts, encoder_out, prompt,
                          max_new_tokens=max_new_tokens,
                          suppress_mask=suppress_mask,
@@ -353,3 +353,16 @@ def greedy_decode_jit(params, arch: WhisperArch, specials: SpecialTokens,
                          self_cache_dtype=self_cache_dtype,
                          prompt_mask=prompt_mask,
                          sot_position=sot_position, pos_offset=pos_offset)
+
+
+greedy_decode_jit = functools.partial(
+    jax.jit, static_argnames=_GREEDY_STATIC)(_greedy_decode_entry)
+
+# NOTE (round-5 measured refutation): donating encoder_out here does NOT
+# free its HBM. TPU/XLA buffer donation is input->output ALIASING only —
+# with no same-shaped output the donation is ignored ("Some donated
+# buffers were not usable: bfloat16[B,1500,1280]"), B=128 still OOMs,
+# and the donated-variant program measured 16% SLOWER at the headline
+# shape (348.7 vs 416.7 device RTFx) besides one compiler subprocess
+# crash on the longform program. Do not re-add donate_argnames without
+# re-measuring. (NOTES_ROUND5.md)

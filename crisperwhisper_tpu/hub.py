@@ -127,14 +127,21 @@ def load_pipeline(model_dir: str, *,
                   median_filter_width: int | None = None,
                   sharding: Any | None = None,
                   mesh: Any | None = None,
-                  quantize: bool = False,
-                  assistant: str | None = None) -> ASRPipeline:
+                  quantize: bool | str = False,
+                  assistant: str | None = None,
+                  params: Any | None = None) -> ASRPipeline:
     """Build the full ASR pipeline from a local checkpoint directory —
     the one-call equivalent of ref:transcribe.py:8-31.
 
-    quantize=True enables the serving quantizations: weight-only int8 on
-    the decoder and the int8 cross-KV cache (~25% faster decode, halved
-    cache memory; small logit perturbation).
+    quantize=True enables weight-only int8 on the decoder and the int8
+    cross-KV cache (~25% faster decode, halved cache memory; small logit
+    perturbation). quantize="serving" selects the BENCHED throughput
+    configuration — int8 decoder weights + int4 cross-KV + int8 self-KV
+    ring (staged-64 growth is already the default) — the exact config
+    behind the published RTFx headline; pair with
+    PipelineOptions.throughput() for the batch-96 shape
+    (`load_pipeline(dir, quantize="serving",
+    pipe_opts=PipelineOptions.throughput())` reproduces bench.py).
 
     mesh: a jax.sharding.Mesh ("data", "model") for multi-chip serving —
     params are tensor-parallel-sharded over "model"
@@ -150,14 +157,24 @@ def load_pipeline(model_dir: str, *,
 
     model_dir: a local checkpoint directory, or a hub repo id resolved
     through `resolve_checkpoint` (local cache first; hub download when
-    the environment allows it)."""
+    the environment allows it).
+
+    params: optional already-materialized (device) parameter pytree in
+    the loader's layout — skips the safetensors read. For training loops
+    that already hold device params, and for benches on hosts whose
+    host<->device link is slow; quantize= still applies to the given
+    tree."""
     model_dir = resolve_checkpoint(model_dir)
     cfgs = load_checkpoint_configs(model_dir)
     arch = WhisperArch.from_hf_config(cfgs["config"])
     if mesh is not None and sharding is not None:
         raise ValueError("pass either mesh= or sharding=, not both")
-    params, _ = load_params(model_dir, arch, dtype=dtype, sharding=sharding,
-                            mesh=mesh)
+    if isinstance(quantize, str) and quantize != "serving":
+        raise ValueError(f"quantize={quantize!r}: use False, True, or "
+                         "'serving'")
+    if params is None:
+        params, _ = load_params(model_dir, arch, dtype=dtype,
+                                sharding=sharding, mesh=mesh)
     if quantize:
         from .models.quantize import (fuse_decoder_qkv,
                                       quantize_decoder_weights)
@@ -184,7 +201,12 @@ def load_pipeline(model_dir: str, *,
         kw["median_filter_width"] = mfw
     if language:
         kw["language"] = language
-    if quantize:
+    if quantize == "serving":
+        # the benched serving config (bench.py headline): int4 cross +
+        # int8 self ring; weights already int8 above
+        kw["kv_cache_int4"] = True
+        kw["self_kv_cache_int8"] = True
+    elif quantize:
         kw["kv_cache_int8"] = True
     if kw:
         opts = replace(opts, **kw)

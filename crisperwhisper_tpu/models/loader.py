@@ -237,3 +237,94 @@ def load_params(model_dir: str, arch: WhisperArch | None = None,
     if sharding is not None:
         params = jax.device_put(params, sharding)
     return params, arch
+
+
+def state_dict_from_params(params: Params) -> dict[str, np.ndarray]:
+    """Inverse of params_from_state_dict: our stacked pytree -> a flat
+    HF-format state dict (torch tensor layouts, "model."-prefixed keys).
+
+    Enables HF-format checkpoint EXPORT (save_hf_checkpoint) so models
+    trained/fine-tuned here round-trip into the reference stack
+    (from_pretrained, ref:transcribe.py:12). Quantized trees must be
+    dequantized first (raises on w_q/w_q4 leaves — export the bf16/f32
+    source params instead)."""
+    t_lin = lambda x: np.ascontiguousarray(np.asarray(x).T)
+    t_conv = lambda x: np.ascontiguousarray(
+        np.transpose(np.asarray(x), (2, 1, 0)))
+    host = lambda x: np.ascontiguousarray(np.asarray(x))
+    out: dict[str, np.ndarray] = {}
+
+    def emit_lin(prefix: str, p: Mapping[str, Any],
+                 layer: int | None = None) -> None:
+        if "w_q" in p or "w_q4" in p:
+            raise ValueError(f"{prefix}: quantized leaf cannot be exported "
+                             "to HF format; export the unquantized params")
+        sel = (lambda a: np.asarray(a)[layer]) if layer is not None \
+            else np.asarray
+        out[f"{prefix}.weight"] = t_lin(sel(p["w"]))
+        if "b" in p:
+            out[f"{prefix}.bias"] = host(sel(p["b"]))
+
+    def emit_ln(prefix: str, p: Mapping[str, Any],
+                layer: int | None = None) -> None:
+        sel = (lambda a: np.asarray(a)[layer]) if layer is not None \
+            else np.asarray
+        out[f"{prefix}.weight"] = host(sel(p["scale"]))
+        out[f"{prefix}.bias"] = host(sel(p["bias"]))
+
+    enc, dec = params["encoder"], params["decoder"]
+    for name, conv in (("conv1", enc["conv1"]), ("conv2", enc["conv2"])):
+        out[f"model.encoder.{name}.weight"] = t_conv(conv["w"])
+        out[f"model.encoder.{name}.bias"] = host(conv["b"])
+    out["model.encoder.embed_positions.weight"] = host(enc["pos"])
+    emit_ln("model.encoder.layer_norm", enc["ln_post"])
+    out["model.decoder.embed_tokens.weight"] = host(dec["tok_emb"])
+    out["model.decoder.embed_positions.weight"] = host(dec["pos_emb"])
+    emit_ln("model.decoder.layer_norm", dec["ln"])
+
+    n_enc = np.asarray(enc["layers"]["ln1"]["scale"]).shape[0]
+    for i in range(n_enc):
+        base = f"model.encoder.layers.{i}"
+        emit_ln(f"{base}.self_attn_layer_norm", enc["layers"]["ln1"], i)
+        emit_ln(f"{base}.final_layer_norm", enc["layers"]["ln2"], i)
+        for hf, ours in _ATTN_MAP.items():
+            emit_lin(f"{base}.self_attn.{hf}",
+                     enc["layers"]["attn"][ours], i)
+        emit_lin(f"{base}.fc1", enc["layers"]["mlp"]["fc1"], i)
+        emit_lin(f"{base}.fc2", enc["layers"]["mlp"]["fc2"], i)
+
+    n_dec = np.asarray(dec["layers"]["ln1"]["scale"]).shape[0]
+    for i in range(n_dec):
+        base = f"model.decoder.layers.{i}"
+        emit_ln(f"{base}.self_attn_layer_norm", dec["layers"]["ln1"], i)
+        emit_ln(f"{base}.encoder_attn_layer_norm", dec["layers"]["ln2"], i)
+        emit_ln(f"{base}.final_layer_norm", dec["layers"]["ln3"], i)
+        for hf, ours in _ATTN_MAP.items():
+            emit_lin(f"{base}.self_attn.{hf}", dec["layers"]["self"][ours],
+                     i)
+            emit_lin(f"{base}.encoder_attn.{hf}",
+                     dec["layers"]["cross"][ours], i)
+        emit_lin(f"{base}.fc1", dec["layers"]["mlp"]["fc1"], i)
+        emit_lin(f"{base}.fc2", dec["layers"]["mlp"]["fc2"], i)
+    return out
+
+
+def save_hf_checkpoint(model_dir: str, params: Params, arch: WhisperArch,
+                       config_extra: Mapping[str, Any] | None = None
+                       ) -> None:
+    """Write an HF-format checkpoint directory (model.safetensors +
+    config.json) loadable by both load_params and the reference's
+    from_pretrained. Tokenizer/generation files are the caller's concern
+    (they are data, not weights)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(model_dir, exist_ok=True)
+    state = state_dict_from_params(params)
+    # bf16 numpy arrays (ml_dtypes) round-trip through safetensors
+    # natively (verified against the installed safetensors)
+    save_file(state, os.path.join(model_dir, "model.safetensors"))
+    cfg = arch.to_hf_config() if hasattr(arch, "to_hf_config") else {}
+    cfg = {**cfg, **(dict(config_extra) if config_extra else {})}
+    cfg.setdefault("model_type", "whisper")
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)

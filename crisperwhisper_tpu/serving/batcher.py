@@ -35,7 +35,10 @@ class _Request:
     n_chunks: int
     return_timestamps: Any
     adjust_pauses_threshold: float | None
+    on_partial: Any = None
     outputs: list = field(default_factory=list)
+    emitted_contig: int = 0          # chunks covered by the last partial
+    partial: dict | None = None      # latest partial result
     done: threading.Event = field(default_factory=threading.Event)
     result: dict | None = None
     error: Exception | None = None
@@ -56,6 +59,13 @@ class StreamHandle:
 
     def done(self) -> bool:
         return self._req.done.is_set()
+
+    def partial(self) -> dict | None:
+        """Latest live partial result ({"text", "chunks", "is_partial":
+        True, "n_chunks_done", "n_chunks"}), or None before the first
+        chunk completes. See submit(on_partial=...) for the push form
+        and the stability contract."""
+        return self._req.partial
 
 
 class StreamingBatcher:
@@ -89,7 +99,25 @@ class StreamingBatcher:
 
     # ------------------------------------------------------------------
     def submit(self, audio: Any, return_timestamps: Any = "word",
-               adjust_pauses_threshold: float | None = None) -> StreamHandle:
+               adjust_pauses_threshold: float | None = None,
+               on_partial: Any = None) -> StreamHandle:
+        """Submit one audio stream; returns a future-like StreamHandle.
+
+        on_partial: optional callable(dict) — LIVE incremental results
+        (BASELINE config 5 "live word-level timestamps"): each time the
+        stream's contiguous chunk prefix grows, the prefix is stitched
+        and delivered as {"text", "chunks", "is_partial": True,
+        "n_chunks_done", "n_chunks"} (also readable by polling
+        StreamHandle.partial(); pass on_partial=True for poll-only
+        tracking without a callback). In word-timestamp mode partials are
+        PREFIX-STABLE EXCEPT THE LAST WORD: the stitcher cuts each
+        non-final chunk at (chunk_end - right_stride), so every delivered
+        word but the final one is outside later chunks' overlap zones and
+        survives into the final result verbatim; the trailing word is
+        OPEN — the next chunk's tokens may extend it or move its end time
+        (measured: boundary-word merge in the stitcher). Live-captioning
+        clients should render the last word as tentative. Runs on the
+        host-finalizer thread — callbacks must not block."""
         from ..audio.io import load_audio
         cfg = self.pipeline.feat_cfg
         sr = cfg.sampling_rate
@@ -103,7 +131,7 @@ class StreamingBatcher:
             rid = self._next_id
             self._next_id += 1
             req = _Request(rid, len(chunks), return_timestamps,
-                           adjust_pauses_threshold)
+                           adjust_pauses_threshold, on_partial=on_partial)
             if chunks:
                 self._requests[rid] = req
         if not chunks:                       # empty/too-short audio
@@ -123,10 +151,11 @@ class StreamingBatcher:
         # own drain ran; flush anything left so no future is dropped
         while True:
             try:
-                req = self._finalize_queue.get_nowait()
+                kind, req = self._finalize_queue.get_nowait()
             except queue.Empty:
                 break
-            self._finalize(req)
+            if kind == "final":
+                self._finalize(req)
 
     # ------------------------------------------------------------------
     def _run(self) -> None:
@@ -166,6 +195,7 @@ class StreamingBatcher:
         outs = self.pipeline._run_chunks(
             chunks, n_samples, "word" if want_words else True)
         finished: list[_Request] = []
+        partials: list[_Request] = []
         with self._lock:
             for (rid, pos, c), out in zip(batch, outs):
                 req = self._requests[rid]
@@ -173,24 +203,89 @@ class StreamingBatcher:
                 if len(req.outputs) == req.n_chunks:
                     finished.append(req)
                     del self._requests[rid]
+            # live partials: emit when a stream's CONTIGUOUS chunk prefix
+            # grew and it is not finishing this batch anyway (the final
+            # delivery covers the last growth)
+            for req in {id(r): r for rid, _, _ in batch
+                        for r in [self._requests.get(rid)]
+                        if r is not None}.values():
+                if not req.on_partial:   # None/False: no partial tracking
+                    continue
+                have = {pos for pos, _, _ in req.outputs}
+                contig = 0
+                while contig in have:
+                    contig += 1
+                if contig > req.emitted_contig:
+                    req.emitted_contig = contig
+                    partials.append(req)
+        for req in partials:
+            self._finalize_queue.put(("partial", req))
         for req in finished:
-            self._finalize_queue.put(req)
+            self._finalize_queue.put(("final", req))
 
     def _finalize_loop(self) -> None:
         while not self._stop.is_set():
             try:
-                req = self._finalize_queue.get(timeout=0.1)
+                kind, req = self._finalize_queue.get(timeout=0.1)
             except queue.Empty:
                 continue
-            self._finalize(req)
+            if kind == "partial":
+                self._finalize_partial(req)
+            else:
+                self._finalize(req)
         # drain on stop: batches whose device work completed must still
         # deliver their futures, else callers blocked in result() hang
         while True:
             try:
-                req = self._finalize_queue.get_nowait()
+                kind, req = self._finalize_queue.get_nowait()
             except queue.Empty:
                 break
-            self._finalize(req)
+            if kind == "final":
+                self._finalize(req)
+
+    def _finalize_partial(self, req: _Request) -> None:
+        """Stitch the stream's contiguous chunk prefix and deliver it as
+        a live partial. The last prefix chunk keeps its right stride, so
+        the stitcher's time cut excludes the overlap zone — delivered
+        words are final (see submit docstring). Errors are swallowed:
+        partials are best-effort; the final delivery is authoritative."""
+        from ..tokenizer.stitcher import decode_asr
+        if req.done.is_set():
+            return
+        cfg = self.pipeline.feat_cfg
+        sr = cfg.sampling_rate
+        with self._lock:
+            contig = req.emitted_contig
+            prefix = sorted((p_o for p_o in req.outputs
+                             if p_o[0] < contig), key=lambda x: x[0])
+        if not prefix:
+            return
+        model_outputs = []
+        for pos, c, out in prefix:
+            cl, left, right = out["stride"]
+            out = dict(out)
+            out["stride"] = (cl / sr, left / sr, right / sr)
+            model_outputs.append(out)
+        try:
+            text, optional = decode_asr(
+                self.pipeline.tokenizer, model_outputs,
+                return_timestamps=req.return_timestamps,
+                return_language=False,
+                time_precision=(cfg.chunk_length
+                                / self.pipeline.arch.max_source_positions))
+            partial = {"text": text, **optional, "is_partial": True,
+                       "n_chunks_done": len(prefix),
+                       "n_chunks": req.n_chunks}
+        except Exception:
+            return
+        if req.done.is_set():       # final already delivered — stay quiet
+            return
+        req.partial = partial
+        if callable(req.on_partial):
+            try:
+                req.on_partial(partial)
+            except Exception:
+                pass                 # client callback errors never kill us
 
     def _finalize(self, req: _Request) -> None:
         from ..pipeline.pauses import adjust_pauses

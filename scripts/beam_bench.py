@@ -9,7 +9,9 @@ per measurement (axon per-dispatch tunnel latency — NOTES_ROUND2.md).
 
 Usage: python scripts/beam_bench.py [batch] [n_tokens]
 Env: ITERS (default 3), BEAMS (default 5), CROSS (int4|int8, default
-int4).
+int4), SELF (bf16|int8|int4 self ring, default bf16), STAGED (staged
+ring-growth quantum, default GenerationOptions default = 64; 0 = one
+full-width loop) — the round-5 beam-shape A/B knobs.
 """
 
 import json
@@ -43,6 +45,8 @@ N_TOKENS = int(sys.argv[2]) if len(sys.argv) > 2 else 192
 ITERS = int(os.environ.get("ITERS", "3"))
 BEAMS = int(os.environ.get("BEAMS", "5"))
 CROSS = os.environ.get("CROSS", "int4")
+SELF = os.environ.get("SELF", "bf16")
+STAGED = os.environ.get("STAGED")
 
 
 def main():
@@ -53,6 +57,8 @@ def main():
     feat_cfg = FeatureConfig(feature_size=arch.num_mel_bins)
     cross_dtype = ({"int8": jnp.int8, "int4": jnp.int4}.get(CROSS)
                    if on_tpu else None)
+    self_dtype = ({"int8": jnp.int8, "int4": jnp.int4}.get(SELF)
+                  if on_tpu else None)
 
     params = init_params(arch, jax.random.PRNGKey(0), dtype=dtype)
     if on_tpu:
@@ -64,6 +70,9 @@ def main():
     # fixed-length decode for comparability: no row finishes early
     suppress = jnp.asarray(suppress_tokens_mask(arch.vocab_size, (sp.eot,)))
     opts = GenerationOptions(max_initial_timestamp_index=50)
+    if STAGED is not None:
+        from dataclasses import replace
+        opts = replace(opts, staged_ring_quantum=int(STAGED))
 
     audio = jnp.asarray(np.random.default_rng(0).standard_normal(
         (BATCH, feat_cfg.n_samples)).astype(np.float32) * 0.1)
@@ -76,7 +85,8 @@ def main():
         res = beam_decode_jit(
             params, arch, sp, opts, enc, prompt, N_TOKENS, BEAMS,
             suppress_mask=suppress, align_sel=align_sel,
-            align_dtype=dtype, cross_cache_dtype=cross_dtype)
+            align_dtype=dtype, cross_cache_dtype=cross_dtype,
+            self_cache_dtype=self_dtype)
         return res.sequences
 
     t0 = time.perf_counter()
@@ -90,7 +100,8 @@ def main():
     audio_seconds = BATCH * feat_cfg.chunk_length
     print(json.dumps({
         "mode": "beam_search", "batch": BATCH, "num_beams": BEAMS,
-        "tokens_per_chunk": N_TOKENS, "kv": CROSS,
+        "tokens_per_chunk": N_TOKENS, "kv": CROSS, "self_kv": SELF,
+        "staged": opts.staged_ring_quantum,
         "device_s": round(best, 3),
         "rtfx_device": round(audio_seconds / best, 1)}), flush=True)
 

@@ -137,6 +137,60 @@ def test_streaming_batcher_multi_stream(pipe, wav_path):
         assert len(r["chunks"]) == len(ref["chunks"])
 
 
+def test_streaming_batcher_live_partials(pipe, ckpt_dir):
+    """BASELINE config 5 "live word-level timestamps": a client observes
+    prefix-stable partial words BEFORE the stream completes
+    (StreamingBatcher.submit(on_partial=...)). The batch size is shrunk
+    below the chunk count so the stream spans several device batches."""
+    import threading
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crisperwhisper_tpu.config import PipelineOptions
+    from crisperwhisper_tpu.hub import load_pipeline
+    from crisperwhisper_tpu.serving import StreamingBatcher
+
+    small = load_pipeline(
+        ckpt_dir, dtype=jnp.float32,
+        pipe_opts=PipelineOptions(chunk_length_s=CHUNK_S, batch_size=1,
+                                  return_timestamps="word"))
+    rng = np.random.default_rng(3)
+    n = 14 * 16000                      # ~4 chunks at 5 s / (5/6 s strides)
+    t = np.arange(n) / 16000.0
+    audio = (0.2 * np.sin(2 * np.pi * 220 * t)
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    partials: list[dict] = []
+    saw_before_done = threading.Event()
+    batcher = StreamingBatcher(small, max_batch_delay_s=0.01)
+    try:
+        def on_partial(p):
+            partials.append(p)
+            saw_before_done.set()
+
+        h = batcher.submit({"raw": audio, "sampling_rate": 16000},
+                           on_partial=on_partial)
+        final = h.result(timeout=600)
+    finally:
+        batcher.shutdown()
+
+    assert saw_before_done.is_set() and partials, "no live partials seen"
+    assert all(p["is_partial"] for p in partials)
+    ns = [p["n_chunks_done"] for p in partials]
+    assert ns == sorted(ns) and ns[-1] < partials[-1]["n_chunks"] + 1
+    assert any(p["n_chunks_done"] < p["n_chunks"] for p in partials)
+    # prefix stability: every partial\'s words except the LAST (the open
+    # boundary word, which the next chunk may extend — see the submit
+    # docstring contract) appear verbatim in the final word list
+    final_words = [(c["text"], c["timestamp"]) for c in final["chunks"]]
+    for p in partials:
+        words = [(c["text"], c["timestamp"]) for c in p["chunks"]][:-1]
+        assert words == final_words[:len(words)], (words, final_words)
+    # polling surface: the handle retains the last partial
+    assert h.partial() is not None and h.partial()["is_partial"]
+
+
 def test_pipeline_prompt_lookup_matches_plain(pipe, ckpt_dir, wav_path):
     """GenerationOptions(prompt_lookup=True) routes the pipeline through
     the draft-free speculation path; transcripts must be identical."""
