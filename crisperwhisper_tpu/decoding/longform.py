@@ -189,16 +189,45 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
       serving). Batches whose row count does not divide the data axis
       (seek-loop compaction buckets) fall back to the default placement.
     """
-    feats = np.asarray(input_features)
+    # Features may arrive as a DEVICE array (the chunked pipeline's mel
+    # frontend runs on device) and STAY on device: the seek loop's
+    # per-row windows are sliced with an on-device gather + dynamic-slice
+    # windower instead of the host. The old eager np.asarray cost a
+    # [B, n_mels, 3000] device->host readback per batch (147 MB at
+    # B=96/128 mels) plus re-upload of every window — on slow-readback
+    # links that is catastrophic (measured: RESOURCE_EXHAUSTED through
+    # the product pipeline on the dev tunnel; round-5 finding), and on
+    # any hardware it is two pointless PCIe crossings per batch.
+    feats_dev = input_features
+    b, n_mels, total_frames = feats_dev.shape
+    num_segment_frames = INPUT_STRIDE * arch.max_source_positions
+    _feats_pad: list[Any] = [None]
+
+    def _device_window(rows: np.ndarray, seeks: np.ndarray,
+                       lengths: np.ndarray) -> jax.Array:
+        """[len(rows), n_mels, num_segment_frames] window per row, sliced
+        on device: feats right-padded once with a zero window so every
+        dynamic_slice is in-bounds; positions >= lengths[j] masked to 0
+        (rows bounded by max_frames must not attend past it)."""
+        if _feats_pad[0] is None:
+            _feats_pad[0] = jnp.pad(
+                jnp.asarray(feats_dev),
+                ((0, 0), (0, 0), (0, num_segment_frames)))
+        fp = _feats_pad[0][jnp.asarray(rows)]
+        win = jax.vmap(lambda f, s: jax.lax.dynamic_slice(
+            f, (0, s), (n_mels, num_segment_frames)))(
+                fp, jnp.asarray(seeks, jnp.int32))
+        mask = (jnp.arange(num_segment_frames)[None, :]
+                < jnp.asarray(lengths)[:, None])
+        return win * mask[:, None, :].astype(win.dtype)
 
     def _put_batch(x):
-        x = np.ascontiguousarray(x)
         if (batch_sharding is not None
                 and x.shape[0] % batch_sharding.mesh.shape["data"] == 0):
             return jax.device_put(x, batch_sharding)
-        return jnp.asarray(x)
-    b, _, total_frames = feats.shape
-    num_segment_frames = INPUT_STRIDE * arch.max_source_positions
+        if isinstance(x, np.ndarray):
+            return jnp.asarray(np.ascontiguousarray(x))
+        return x
     max_frames = (np.asarray(max_frames, np.int64) if max_frames is not None
                   else np.full((b,), total_frames, np.int64))
     num_frames = (np.asarray(num_frames, np.int64) if num_frames is not None
@@ -209,11 +238,14 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
         # one batched detection on the first 30 s window per row
         # (hf _retrieve_init_tokens :1584 detects once, not per seek)
         from .language import detect_language
-        first = np.zeros((b, feats.shape[1], num_segment_frames), np.float32)
-        for i in range(b):
-            nseg = int(min(max_frames[i], num_segment_frames,
+        if (total_frames == num_segment_frames
+                and bool(np.all(max_frames >= num_segment_frames))):
+            first: Any = feats_dev          # already one full window/row
+        else:
+            first = _device_window(
+                np.arange(b), np.zeros((b,), np.int64),
+                np.minimum(np.minimum(max_frames, num_segment_frames),
                            total_frames))
-            first[i, :, :nseg] = feats[i, :, :nseg]
         lang_ids = np.asarray(detect_language(
             params, arch, specials, encode(params, arch,
                                            _put_batch(first))))
@@ -323,13 +355,20 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
         bucket = min(bucket, b)
         rows = np.concatenate([idx, np.repeat(idx[:1], bucket - nact)])
 
-        # slice + right-pad each bucket row's current window (host, cheap)
-        segment = np.zeros((bucket, feats.shape[1], num_segment_frames),
-                           np.float32)
-        for j, i in enumerate(rows):
-            s = int(seek[i])
-            n = max(min(int(seek_num_frames[i]), total_frames - s), 0)
-            segment[j, :, :n] = feats[i, :, s:s + n]
+        # per-row current window. FAST PATH (every chunked-pipeline call):
+        # the input is exactly one full window per row and all rows are
+        # at seek 0 — the whole feature batch IS the segment, zero work.
+        # Otherwise the on-device windower gathers + dynamic-slices each
+        # row's window; features never visit the host either way.
+        if (total_frames == num_segment_frames and nact == b
+                and not seek.any()
+                and bool(np.all(seek_num_frames == num_segment_frames))):
+            # nact == b and seek == 0 imply rows == arange(b): the batch
+            # maps 1:1 onto the feature rows
+            segment: Any = feats_dev
+        else:
+            segment = _device_window(rows, seek[rows],
+                                     seek_num_frames[rows])
 
         if num_frames is not None:
             dtw_frames = np.minimum((num_frames - seek) // 2,
