@@ -729,11 +729,16 @@ def main():
                                  pipe_opts=PipelineOptions.throughput(),
                                  language="en")
             load_s = time.perf_counter() - t_load0
+            # fixed per-chunk work: one seek pass (the hf
+            # force_unique_generate_call semantics — random weights end
+            # windows mid-segment and would re-decode remainders), one
+            # temperature, fixed token budget
             pipe.gen_opts = _replace(
                 pipe.gen_opts, suppress_tokens=(sp.eot,),
                 begin_suppress_tokens=(), temperatures=(0.0,),
                 no_speech_threshold=None, logprob_threshold=None,
                 compression_ratio_threshold=None,
+                force_unique_generate_call=True,
                 max_new_tokens=HEADLINE_TOKENS)
             n_chunks = pipe.pipe_opts.batch_size
             # 96 chunks exactly: starts 0,20,..,1900 s; last covers 25 s

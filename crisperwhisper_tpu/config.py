@@ -215,6 +215,16 @@ class GenerationOptions:
     #                               decoding toward domain vocabulary (hf
     #                               generate(prompt_ids=...),
     #                               generation_whisper.py:1875-1943).
+    force_unique_generate_call: bool = False
+    #                               run EXACTLY ONE seek iteration per
+    #                               generate call (hf generate
+    #                               (force_unique_generate_call=True),
+    #                               generation_whisper.py:913 — the loop
+    #                               breaks after the first pass instead
+    #                               of re-decoding a window remainder).
+    #                               The chunked pipeline's 30 s windows
+    #                               are single-pass with real checkpoints
+    #                               almost always; this pins it.
     prompt_condition_type: str = "first-segment"
     #                               "first-segment": the prompt seeds the
     #                               previous-context buffer and is trimmed

@@ -142,15 +142,33 @@ def _decode_window(params, arch, specials, opts, segment_features,
     jump_times = None
     if align_sel is not None:
         n_tokens = jnp.maximum(res.num_generated - 1, 0)
-        # full-width windows (every non-final chunk) take the fused Pallas
-        # prep kernel; batches containing cropped rows use the XLA path
-        full = bool(np.all(np.asarray(dtw_frames)
-                           == arch.max_source_positions))
-        jumps = attention_to_jump_times(
-            res.align_probs.astype(jnp.float32), opts.median_filter_width,
-            n_tokens, jnp.asarray(dtw_frames, jnp.int32),
-            full_frames=full)
-        jump_times = np.asarray(jumps).astype(np.float32) * opts.time_precision
+        # full-width rows (every non-final chunk) take the fused Pallas
+        # prep kernel. A batch with SOME cropped rows (one final chunk in
+        # a 96-chunk group is typical) used to demote the WHOLE batch to
+        # the XLA prep — ~2 s vs 0.07 s at B=96 (round-5 chip probe).
+        # Now: fused prep runs for all rows, and only the cropped rows
+        # are recomputed exactly on the XLA path at a small power-of-2
+        # bucket (static shapes; per-row results identical to before).
+        full_mask = (np.asarray(dtw_frames) == arch.max_source_positions)
+        dtw_j = jnp.asarray(dtw_frames, jnp.int32)
+        probs_f32 = res.align_probs.astype(jnp.float32)
+        if full_mask.all() or not full_mask.any():
+            jumps = np.asarray(attention_to_jump_times(
+                probs_f32, opts.median_filter_width, n_tokens, dtw_j,
+                full_frames=bool(full_mask.all())))
+        else:
+            jumps = np.array(attention_to_jump_times(
+                probs_f32, opts.median_filter_width, n_tokens, dtw_j,
+                full_frames=True))
+            crop = np.nonzero(~full_mask)[0]
+            bucket = 1 << max(len(crop) - 1, 0).bit_length()
+            rows_c = np.concatenate([crop, np.repeat(crop[:1],
+                                                     bucket - len(crop))])
+            jumps_c = np.asarray(attention_to_jump_times(
+                probs_f32[rows_c], opts.median_filter_width,
+                n_tokens[rows_c], dtw_j[rows_c], full_frames=False))
+            jumps[crop] = jumps_c[:len(crop)]
+        jump_times = jumps.astype(np.float32) * opts.time_precision
     return (np.asarray(res.sequences), np.asarray(res.num_generated),
             score, is_normalized, np.asarray(res.no_speech_probs),
             jump_times)
@@ -471,6 +489,11 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 TIME_PRECISION_FEATURES, INPUT_STRIDE)
             seek[i] += offset
             current_segments[i] += segs
+
+        if opts.force_unique_generate_call:
+            # exactly one seek pass, remainder windows dropped
+            # (hf generation_whisper.py:913)
+            break
 
     # first-segment prompt mode: the seeded prompt "segment" is context,
     # not output — trim it before padding (hf :918-922 final_segments)

@@ -98,3 +98,31 @@ def test_long_form_parity(setup):
                     num_frames=np.array([frames, frames]),
                     max_frames=np.array([frames, frames]))
     _compare(golden, ours, 2)
+
+
+def test_force_unique_generate_call(setup):
+    """force_unique_generate_call=True runs EXACTLY ONE seek pass and
+    drops remainder windows (hf generation_whisper.py:913 break)."""
+    import torch
+    from dataclasses import replace
+
+    tm, params, opts = setup
+    frames = 1250
+    mel = rand_mel(batch=2, seed=23, frames=frames)
+    mask = torch.ones((2, frames), dtype=torch.long)
+    golden = _hf_generate(tm, mel, attention_mask=mask,
+                          force_unique_generate_call=True)
+    ours = generate(params, tiny_arch(), TINY_SPECIALS,
+                    replace(opts, force_unique_generate_call=True),
+                    jnp.asarray(mel),
+                    num_frames=np.array([frames, frames]),
+                    max_frames=np.array([frames, frames]))
+    # HF's unique-call mode returns the raw first-pass result; compare
+    # the per-item segment token streams (the stable surface)
+    for i in range(2):
+        g_segs = golden["segments"][i]
+        o_segs = ours.segments[i]
+        assert len(g_segs) == len(o_segs)
+        for gseg, oseg in zip(g_segs, o_segs):
+            np.testing.assert_array_equal(np.asarray(gseg["tokens"]),
+                                          oseg["tokens"])
