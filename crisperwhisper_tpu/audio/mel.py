@@ -158,6 +158,7 @@ def pad_or_trim(waveform: np.ndarray, n_samples: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
 def extract_features(waveform: jax.Array, cfg: FeatureConfig = FeatureConfig(),
                      dtype: jnp.dtype = jnp.float32) -> jax.Array:
     """Jitted batched frontend entry point: [B, 480000] -> [B, M, 3000]."""

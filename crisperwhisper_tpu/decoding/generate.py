@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import GenerationOptions, SpecialTokens, WhisperArch
-from ..models.whisper import alignment_selector, encode
+from ..models.whisper import alignment_selector, encode_jit
 from ..ops.alignment import attention_to_jump_times
 from .greedy import DecodeResult, greedy_decode_jit
 from .processors import suppress_tokens_mask
@@ -110,7 +110,7 @@ def generate_short_form(params: Any, arch: WhisperArch,
     align_sel = (jnp.asarray(alignment_selector(arch, opts.alignment_heads))
                  if compute_timestamps else None)
 
-    encoder_out = encode(params, arch, input_features)
+    encoder_out = encode_jit(params, arch, input_features)
     result: DecodeResult = greedy_decode_jit(
         params, arch, specials, opts, encoder_out,
         jnp.asarray(prompt), max_new,

@@ -30,3 +30,13 @@ def detect_language(params: Any, arch: WhisperArch, specials: SpecialTokens,
                  & (vocab < specials.language_begin + n_lang))
     masked = jnp.where(lang_mask[None, :], logits, -jnp.inf)
     return jnp.argmax(masked, axis=-1).astype(jnp.int32)
+
+
+# jitted entry (static arch/specials/num_languages): detection is one
+# decode step, but the eager form pays per-op dispatch for the whole
+# step (see models/whisper.encode_jit note)
+import functools  # noqa: E402
+
+detect_language_jit = functools.partial(
+    jax.jit, static_argnames=("arch", "specials", "num_languages"))(
+        detect_language)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import GenerationOptions, SpecialTokens, WhisperArch
-from ..models.whisper import alignment_selector, encode
+from ..models.whisper import alignment_selector, encode_jit
 from ..ops.alignment import attention_to_jump_times
 from .fallback import need_fallback
 from .greedy import greedy_decode_jit
@@ -70,7 +70,7 @@ def _decode_window(params, arch, specials, opts, segment_features,
     at temperature 0; any sampling temperature forces num_beams=1. With
     beams, the returned score is sequences_scores (already
     length-normalized) — the quantity _need_fallback consumes (:1266)."""
-    encoder_out = encode(params, arch, segment_features)
+    encoder_out = encode_jit(params, arch, segment_features)
     pos_off_j = (jnp.asarray(pos_offset, jnp.int32)
                  if pos_offset is not None else None)
     use_beams = opts.num_beams > 1 and temperature == 0.0
@@ -91,8 +91,8 @@ def _decode_window(params, arch, specials, opts, segment_features,
         else:
             draft_params, draft_arch = assistant
             if "encoder" in draft_params:
-                draft_enc = encode(draft_params, draft_arch,
-                                   segment_features)
+                draft_enc = encode_jit(draft_params, draft_arch,
+                                       segment_features)
             else:
                 # layer-truncated SELF-draft (assisted.make_self_draft):
                 # the draft's cross-attention was trained against the
@@ -255,7 +255,7 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
     if detect_language_first and language_token is None:
         # one batched detection on the first 30 s window per row
         # (hf _retrieve_init_tokens :1584 detects once, not per seek)
-        from .language import detect_language
+        from .language import detect_language_jit
         if (total_frames == num_segment_frames
                 and bool(np.all(max_frames >= num_segment_frames))):
             first: Any = feats_dev          # already one full window/row
@@ -264,9 +264,9 @@ def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
                 np.arange(b), np.zeros((b,), np.int64),
                 np.minimum(np.minimum(max_frames, num_segment_frames),
                            total_frames))
-        lang_ids = np.asarray(detect_language(
-            params, arch, specials, encode(params, arch,
-                                           _put_batch(first))))
+        lang_ids = np.asarray(detect_language_jit(
+            params, arch, specials, encode_jit(params, arch,
+                                               _put_batch(first))))
         init_tokens = np.stack([
             np.concatenate([
                 np.asarray([specials.sot, int(lang_ids[i]),
