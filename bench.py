@@ -806,6 +806,42 @@ def main():
                        "rtfx_e2e": round(hour_s / wall, 1)}
                 print(f"# row: {json.dumps(row)}", flush=True)
                 rows.append(row)
+
+            # ---- single-stream PRODUCT-PATH latency: one 30 s chunk
+            # through the public pipeline (ref:app.py interactive path)
+            # with the latency-adaptive prompt-lookup speculation gate —
+            # the e2e number a caller actually observes (device decode +
+            # mel + DTW + host stitch + dispatch), vs the device-only
+            # single_stream rows above.
+            if os.environ.get("BENCH_PIPELINE_B1", "1") != "0":
+                from crisperwhisper_tpu.config import \
+                    PipelineOptions as _PO1
+                from crisperwhisper_tpu.pipeline.asr import ASRPipeline
+                p1 = ASRPipeline(pipe.params, pipe.arch, pipe.tokenizer,
+                                 specials=pipe.specials,
+                                 gen_opts=pipe.gen_opts,
+                                 pipe_opts=_PO1(batch_size=1,
+                                                assistant_max_batch=1),
+                                 feat_cfg=pipe.feat_cfg,
+                                 assistant="prompt_lookup")
+                a30 = {"raw": (prng.standard_normal(30 * 16000)
+                               .astype(np.float32) * 0.1),
+                       "sampling_rate": 16000}
+                compile_with_retries(
+                    lambda: p1(a30, return_timestamps="word"))
+                t0 = time.perf_counter()
+                reps = 4
+                for _ in range(reps):
+                    p1(a30, return_timestamps="word")
+                ms = (time.perf_counter() - t0) / reps * 1e3
+                row = {"mode": "single_stream_pipeline", "batch": 1,
+                       "tokens_per_chunk": HEADLINE_TOKENS,
+                       "assistant": "prompt_lookup",
+                       "spec_len": pipe.gen_opts.assistant_spec_len,
+                       "latency_ms_per_30s_chunk": round(ms, 1),
+                       "rtfx_b1_e2e": round(30000.0 / ms, 1)}
+                print(f"# row: {json.dumps(row)}", flush=True)
+                rows.append(row)
         except Exception as e:            # never let one row kill the bench
             print(f"# pipeline_serving row skipped: {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)

@@ -153,3 +153,53 @@ def test_serving_preset_transcribes(tmp_path):
     audio = (0.1 * rng.standard_normal(7 * 16000)).astype(np.float32)
     out = pipe(audio, return_timestamps="word")
     assert "text" in out and "chunks" in out
+
+
+def test_load_pipeline_params_injection(tmp_path):
+    """load_pipeline(params=...) skips the safetensors read and applies
+    quantize= to the injected tree (training loops / slow-link hosts)."""
+    import jax
+    from crisperwhisper_tpu.hub import load_pipeline
+    arch = WhisperArch(**TINY)
+    params = init_params(arch, jax.random.PRNGKey(5), dtype=jnp.float32)
+    d = str(tmp_path / "ckpt")
+    save_hf_checkpoint(d, params, arch)
+    build_model_vocab_dir(d)
+    with open(os.path.join(d, "generation_config.json"), "w") as f:
+        json.dump({"no_timestamps_token_id": TINY_SPECIALS.no_timestamps,
+                   "eos_token_id": TINY_SPECIALS.eot,
+                   "decoder_start_token_id": TINY_SPECIALS.sot}, f)
+    with open(os.path.join(d, "preprocessor_config.json"), "w") as f:
+        json.dump({"feature_size": 80, "sampling_rate": 16000,
+                   "n_fft": 400, "hop_length": 160, "chunk_length": 5}, f)
+    os.remove(os.path.join(d, "model.safetensors"))   # prove no file read
+    pipe = load_pipeline(d, dtype=jnp.float32, quantize="serving",
+                         params=params)
+    assert "w_q" in pipe.params["decoder"]["layers"]["mlp"]["fc1"]
+
+
+def test_make_bench_ckpt_dir_loads(tmp_path):
+    """The synthetic large-v3 bench checkpoint directory satisfies every
+    non-weight file contract load_pipeline reads (tokenizer with full
+    text-id coverage, configs, generation config)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from make_bench_ckpt import ensure_bench_checkpoint
+    from crisperwhisper_tpu.config import SpecialTokens
+    from crisperwhisper_tpu.hub import load_checkpoint_configs
+    from crisperwhisper_tpu.tokenizer import WhisperTokenizer
+
+    d = ensure_bench_checkpoint(str(tmp_path / "bench_ckpt"))
+    sp = SpecialTokens()
+    tok = WhisperTokenizer.from_dir(d)
+    assert tok.timestamp_begin == sp.timestamp_begin
+    assert tok.language_token_id("en") == sp.language_begin
+    # full text-id coverage: every id below eot renders
+    ids = list(range(0, sp.eot, 4999))
+    assert all(tok.id_to_token(i) for i in ids)
+    cfgs = load_checkpoint_configs(d)
+    assert cfgs["config"]["d_model"] == 1280
+    assert cfgs["generation_config"]["alignment_heads"]
+    # idempotent (marker short-circuits)
+    assert ensure_bench_checkpoint(d) == d
