@@ -206,9 +206,12 @@ class StreamingBatcher:
             # live partials: emit when a stream's CONTIGUOUS chunk prefix
             # grew and it is not finishing this batch anyway (the final
             # delivery covers the last growth)
-            for req in {id(r): r for rid, _, _ in batch
-                        for r in [self._requests.get(rid)]
-                        if r is not None}.values():
+            touched: dict[int, _Request] = {}
+            for rid, _, _ in batch:
+                r = self._requests.get(rid)     # finished rids are gone
+                if r is not None:
+                    touched[rid] = r
+            for req in touched.values():
                 if not req.on_partial:   # None/False: no partial tracking
                     continue
                 have = {pos for pos, _, _ in req.outputs}
