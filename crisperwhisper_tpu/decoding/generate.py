@@ -49,7 +49,22 @@ def build_prompt(specials: SpecialTokens, batch: int,
     (:1503-1506). A pinned language REPLACES slot 1 rather than
     appending (:1578-1584); a pinned task is appended (:1595-1597 —
     replace_or_add's replace branch discards its result, so the
-    reference's net effect is the append)."""
+    reference's net effect is the append).
+
+    language_token may also be a per-row sequence of length `batch`
+    (the reference's generate(language=[...]) list form,
+    :1544-1560) — every row shares the same prompt structure, so the
+    static width is preserved."""
+    if isinstance(language_token, (list, tuple, np.ndarray)):
+        if len(language_token) != batch:
+            raise ValueError(
+                "When passing a list of languages, the length of the list "
+                f"must match the batch size. Expected length of {batch}, "
+                f"but got {len(language_token)} languages.")
+        return np.concatenate(
+            [build_prompt(specials, 1, int(lt), task_token,
+                          return_timestamps, forced_tokens)
+             for lt in language_token], axis=0)
     toks: list[int | None] = [specials.sot]
     if language_token is None and task_token is None and forced_tokens:
         toks.extend(forced_tokens)

@@ -114,3 +114,47 @@ def test_znorm_masked_matches_unmasked_on_true_region():
     ours = np.asarray(znorm_tokens(jnp.asarray(w), jnp.asarray(mask)))
     ref = np.asarray(znorm_tokens(jnp.asarray(w[:, :7])))
     np.testing.assert_allclose(ours[:, :7], ref, atol=1e-5)
+
+
+def test_device_window_matches_host_slicing():
+    """The on-device window slicer (longform._device_window via a
+    generate call with staggered seeks) must reproduce the old host
+    slice+pad exactly. Exercised through its public effect: windows
+    sliced from a multi-window input at random per-row max_frames give
+    the same segments as the same audio rows decoded one-by-one (which
+    take different seek/bucket paths through the windower)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crisperwhisper_tpu.config import GenerationOptions
+    from crisperwhisper_tpu.decoding import generate
+    from crisperwhisper_tpu.models import params_from_state_dict
+    from helpers import (TINY_SPECIALS, rand_mel, state_dict_numpy,
+                        tiny_arch, torch_tiny_model)
+
+    arch = tiny_arch()
+    tm = torch_tiny_model(seed=0)
+    params = params_from_state_dict(state_dict_numpy(tm), arch,
+                                    dtype=jnp.float32)
+    opts = GenerationOptions(
+        alignment_heads=((0, 1), (1, 3)), median_filter_width=7,
+        max_initial_timestamp_index=50, compression_ratio_threshold=None,
+        logprob_threshold=None, no_speech_threshold=None,
+        temperatures=(0.0,), max_new_tokens=24)
+    frames = 1400                      # 2.8 windows of the tiny geometry
+    mel = rand_mel(batch=3, seed=77, frames=frames)
+    # staggered per-row bounds: rows hit different seek offsets, bucket
+    # compactions, and cropped tails inside the device windower
+    max_frames = np.array([1400, 900, 600])
+    batched = generate(params, arch, TINY_SPECIALS, opts, jnp.asarray(mel),
+                       num_frames=max_frames.copy(),
+                       max_frames=max_frames.copy())
+    for i in range(3):
+        solo = generate(params, arch, TINY_SPECIALS, opts,
+                        jnp.asarray(mel[i:i + 1]),
+                        num_frames=max_frames[i:i + 1].copy(),
+                        max_frames=max_frames[i:i + 1].copy())
+        assert len(solo.segments[0]) == len(batched.segments[i])
+        for sa, sb in zip(solo.segments[0], batched.segments[i]):
+            np.testing.assert_array_equal(np.asarray(sa["tokens"]),
+                                          np.asarray(sb["tokens"]))

@@ -226,3 +226,34 @@ def test_get_prompt_ids_matches_hf(tmp_path):
             hf.get_prompt_ids(text, return_tensors="np"))
     with pytest.raises(ValueError, match="disallowed special token"):
         ours.get_prompt_ids("hello <|startoftranscript|>")
+
+
+def test_per_row_language_list_parity(setup):
+    """generate(language=[...]) list form: each row gets its own language
+    token in slot 1 (hf _retrieve_init_tokens :1544-1560)."""
+    import torch
+
+    tm, params, opts = setup
+    gc = tm.generation_config
+    # synthetic lang tokens for the tiny layout (ids just above sot_prev)
+    gc.lang_to_id = {"<|en|>": 940, "<|de|>": 941}
+    gc.task_to_id = {"transcribe": TINY_SPECIALS.transcribe,
+                     "translate": TINY_SPECIALS.translate}
+    gc.is_multilingual = True
+    try:
+        mel = rand_mel(batch=2, seed=39)
+        golden = _hf_generate(tm, mel, language=["<|en|>", "<|de|>"],
+                              task="transcribe")
+    finally:
+        del gc.lang_to_id, gc.task_to_id
+        gc.is_multilingual = None
+    ours = generate(params, tiny_arch(), TINY_SPECIALS, opts,
+                    jnp.asarray(rand_mel(batch=2, seed=39)),
+                    language_token=np.array([940, 941]),
+                    task_token=TINY_SPECIALS.transcribe)
+    _compare_segments(golden, ours, 2)
+
+
+def test_language_list_wrong_length_raises():
+    with pytest.raises(ValueError, match="match the batch size"):
+        build_prompt(TINY_SPECIALS, 3, language_token=[940, 941])
