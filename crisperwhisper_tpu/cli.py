@@ -34,6 +34,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adjust-pauses", type=float, default=None,
                    metavar="THRESHOLD",
                    help="Apply pause redistribution (e.g. 0.12)")
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8", "serving"],
+                   help="Serving quantization: int8 = int8 weights + "
+                        "int8 cross-KV; serving = the benched throughput "
+                        "config (int8 weights + int4 cross + int8 self)")
+    p.add_argument("--prompt", type=str, default=None,
+                   help="Domain-vocabulary bias text (tokenized via "
+                        "get_prompt_ids; the reference's prompt_ids)")
+    p.add_argument("--assistant", type=str, default=None,
+                   metavar="MODE",
+                   help="Speculative decoding: 'prompt_lookup' or "
+                        "'self:K' (layer-truncated self-draft)")
     p.add_argument("--json", action="store_true",
                    help="Print the full result dict as JSON")
     return p
@@ -51,15 +63,19 @@ def main(argv=None) -> int:
         from .hub import load_pipeline
 
         rt = {"word": "word", "segment": True, "none": False}[args.timestamps]
+        quantize = {"none": False, "int8": True,
+                    "serving": "serving"}[args.quantize]
         pipe = load_pipeline(
-            args.model, language=args.language,
+            args.model, language=args.language, quantize=quantize,
+            assistant=args.assistant,
             pipe_opts=PipelineOptions(chunk_length_s=args.chunk_length_s,
                                       batch_size=args.batch_size,
                                       return_timestamps=rt))
         if args.num_beams > 1:
             pipe.gen_opts = replace(pipe.gen_opts, num_beams=args.num_beams)
         result = pipe(args.f, return_timestamps=rt,
-                      adjust_pauses_threshold=args.adjust_pauses)
+                      adjust_pauses_threshold=args.adjust_pauses,
+                      prompt=args.prompt)
         if args.json:
             print(json.dumps(result, default=float))
         else:
