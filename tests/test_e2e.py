@@ -319,3 +319,38 @@ def test_pipeline_warmup_precompiles_pow2_sizes(pipe, wav_path):
     assert sizes[:-1] == [1 << i for i in range(len(sizes) - 1)]
     out = pipe(wav_path, return_timestamps="word")
     assert isinstance(out["text"], str) and len(out["chunks"]) > 0
+
+
+def test_streaming_batcher_partials_multi_stream(pipe, wav_path):
+    """Partials under concurrency: several streams with callbacks share
+    the finalizer thread; every stream still gets ordered partials and
+    a final result identical to the single-shot pipeline."""
+    import threading
+    from collections import defaultdict
+
+    from crisperwhisper_tpu.audio.io import read_wav
+    from crisperwhisper_tpu.serving import StreamingBatcher
+
+    _, audio = read_wav(wav_path)
+    ref = pipe({"raw": audio, "sampling_rate": 16000},
+               return_timestamps="word")
+    partials = defaultdict(list)
+    lock = threading.Lock()
+    batcher = StreamingBatcher(pipe, max_batch_delay_s=0.01)
+    try:
+        def cb(i):
+            def on_partial(p):
+                with lock:
+                    partials[i].append(p["n_chunks_done"])
+            return on_partial
+
+        handles = [batcher.submit({"raw": audio, "sampling_rate": 16000},
+                                  on_partial=cb(i)) for i in range(3)]
+        results = [h.result(timeout=300) for h in handles]
+    finally:
+        batcher.shutdown()
+    for r in results:
+        assert r["text"] == ref["text"]
+    for i in range(3):
+        assert partials[i] == sorted(partials[i])   # ordered, no dupes
+        assert len(set(partials[i])) == len(partials[i])
