@@ -102,6 +102,7 @@ CHUNK_STRIDE_S = 5.0   # pipeline overlap stride each side (chunk/6)
 
 
 def main():
+    t_bench0 = time.perf_counter()
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
     arch = WhisperArch.large_v3() if on_tpu else WhisperArch.tiny()
@@ -862,6 +863,8 @@ def main():
     if mfu_encoder is not None:
         final["mfu_encoder"] = round(mfu_encoder, 4)
         final["decode_floor_frac"] = round(decode_floor_frac, 3)
+    print(f"# bench_wall_s: {time.perf_counter() - t_bench0:.0f}",
+          flush=True)
     print(json.dumps(final))
 
 
