@@ -81,6 +81,11 @@ def build_pipeline(on_tpu: bool, batch_size: int) -> ASRPipeline:
         compression_ratio_threshold=None, logprob_threshold=None,
         no_speech_threshold=None, max_initial_timestamp_index=50,
         language="en", kv_cache_int4=on_tpu, self_kv_cache_int8=on_tpu,
+        # one seek pass per 30 s chunk (hf force_unique semantics):
+        # random weights end windows mid-segment and would re-decode the
+        # remainder — fixed per-chunk work, same as bench.py's
+        # pipeline_serving row
+        force_unique_generate_call=True,
         # B1K=1: small-batch tail programs (2..8 rows) ride the fused
         # whole-step decode kernel (ops/pallas_decode_b1)
         b1_decode_kernel=os.environ.get("B1K", "0") == "1")
