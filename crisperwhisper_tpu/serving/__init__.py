@@ -1,3 +1,4 @@
 from .batcher import StreamHandle, StreamingBatcher
+from .live import LiveSession
 
-__all__ = ["StreamHandle", "StreamingBatcher"]
+__all__ = ["LiveSession", "StreamHandle", "StreamingBatcher"]

@@ -354,3 +354,49 @@ def test_streaming_batcher_partials_multi_stream(pipe, wav_path):
     for i in range(3):
         assert partials[i] == sorted(partials[i])   # ordered, no dupes
         assert len(set(partials[i])) == len(partials[i])
+
+
+def test_live_session_matches_offline_pipeline(pipe, wav_path):
+    """LiveSession equivalence contract: feeding the audio in arbitrary
+    block sizes then finish() returns EXACTLY the offline pipeline's
+    result (same chunk boundaries as chunk_iter; batched-vs-single
+    decode parity pinned elsewhere). Partials arrive while feeding and
+    are prefix-stable except the open boundary word."""
+    import numpy as np
+
+    from crisperwhisper_tpu.audio.io import read_wav
+    from crisperwhisper_tpu.serving import LiveSession
+
+    _, audio = read_wav(wav_path)
+    ref = pipe({"raw": audio, "sampling_rate": 16000},
+               return_timestamps="word", adjust_pauses_threshold=0.12)
+
+    partials = []
+    sess = LiveSession(pipe, adjust_pauses_threshold=0.12,
+                       on_partial=partials.append)
+    rng = np.random.default_rng(5)
+    i = 0
+    while i < len(audio):
+        n = int(rng.integers(1000, 40000))      # ragged live blocks
+        sess.feed(audio[i:i + n])
+        i += n
+    final = sess.finish()
+
+    assert final == ref                          # bit-identical result
+    assert partials, "no live partials during feed"
+    assert all(p["is_partial"] for p in partials)
+    ns = [p["n_chunks_done"] for p in partials]
+    assert ns == sorted(ns)
+    final_words = [(c["text"], c["timestamp"]) for c in ref["chunks"]]
+    # NOTE: the final result above is pause-adjusted; compare partial
+    # prefixes against the unadjusted stitch instead
+    raw = pipe({"raw": audio, "sampling_rate": 16000},
+               return_timestamps="word")
+    raw_words = [(c["text"], c["timestamp"]) for c in raw["chunks"]]
+    for p in partials:
+        words = [(c["text"], c["timestamp"]) for c in p["chunks"]][:-1]
+        assert words == raw_words[:len(words)], (words, raw_words)
+
+    import pytest
+    with pytest.raises(RuntimeError):
+        sess.feed(audio[:100])
