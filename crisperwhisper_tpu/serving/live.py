@@ -140,6 +140,12 @@ class LiveSession:
     def _stitch(self, final: bool) -> dict:
         from ..pipeline.pauses import adjust_pauses
         from ..tokenizer.stitcher import decode_asr
+        if not self._outputs:            # empty / too-short stream
+            result = ({"text": "", "chunks": []}
+                      if self.return_timestamps else {"text": ""})
+            if not final:
+                result.update(is_partial=True, n_chunks_done=0)
+            return result
         cfg = self.pipeline.feat_cfg
         text, optional = decode_asr(
             self.pipeline.tokenizer, [dict(o) for o in self._outputs],

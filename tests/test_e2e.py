@@ -400,3 +400,9 @@ def test_live_session_matches_offline_pipeline(pipe, wav_path):
     import pytest
     with pytest.raises(RuntimeError):
         sess.feed(audio[:100])
+
+
+def test_live_session_empty_stream(pipe):
+    from crisperwhisper_tpu.serving import LiveSession
+    sess = LiveSession(pipe)
+    assert sess.finish() == {"text": "", "chunks": []}
