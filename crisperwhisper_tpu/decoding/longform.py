@@ -109,7 +109,7 @@ def _decode_window(params, arch, specials, opts, segment_features,
             prompt_mask=(jnp.asarray(prompt_mask)
                          if prompt_mask is not None else None),
             sot_position=sot_position, pos_offset=pos_off_j)
-        score = np.asarray(res.sum_logprobs)
+        score_dev = res.sum_logprobs
         is_normalized = False
     elif use_beams:
         from .beam import beam_decode_jit
@@ -123,7 +123,7 @@ def _decode_window(params, arch, specials, opts, segment_features,
             cross_cache_dtype=_kv_dtype(opts),
             self_cache_dtype=_self_kv_dtype(opts),
             sot_position=sot_position, pos_offset=pos_off_j)
-        score = np.asarray(res.sequences_scores)
+        score_dev = res.sequences_scores
         is_normalized = True
     else:
         res = greedy_decode_jit(
@@ -137,9 +137,18 @@ def _decode_window(params, arch, specials, opts, segment_features,
             cross_cache_dtype=_kv_dtype(opts),
             self_cache_dtype=_self_kv_dtype(opts),
             sot_position=sot_position, pos_offset=pos_off_j)
-        score = np.asarray(res.sum_logprobs)
+        score_dev = res.sum_logprobs
         is_normalized = False
-    jump_times = None
+    # --- single overlapped readback ---------------------------------
+    # Every per-window output crosses device->host in ONE device_get:
+    # jax issues copy_to_host_async for all leaves before blocking, so
+    # the five transfers overlap instead of paying five serial
+    # dispatch+sync round trips (the round-5 pipeline probe attributed
+    # ~3 s/call of residual latency to host round-trips on a
+    # slow-readback link; on local PCIe this still removes 4 sync
+    # points per window batch).
+    jumps_dev = None
+    crop = None
     if align_sel is not None:
         n_tokens = jnp.maximum(res.num_generated - 1, 0)
         # full-width rows (every non-final chunk) take the fused Pallas
@@ -153,25 +162,30 @@ def _decode_window(params, arch, specials, opts, segment_features,
         dtw_j = jnp.asarray(dtw_frames, jnp.int32)
         probs_f32 = res.align_probs.astype(jnp.float32)
         if full_mask.all() or not full_mask.any():
-            jumps = np.asarray(attention_to_jump_times(
+            jumps_dev = attention_to_jump_times(
                 probs_f32, opts.median_filter_width, n_tokens, dtw_j,
-                full_frames=bool(full_mask.all())))
+                full_frames=bool(full_mask.all()))
         else:
-            jumps = np.array(attention_to_jump_times(
+            jumps_dev = attention_to_jump_times(
                 probs_f32, opts.median_filter_width, n_tokens, dtw_j,
-                full_frames=True))
+                full_frames=True)
             crop = np.nonzero(~full_mask)[0]
             bucket = 1 << max(len(crop) - 1, 0).bit_length()
             rows_c = np.concatenate([crop, np.repeat(crop[:1],
                                                      bucket - len(crop))])
-            jumps_c = np.asarray(attention_to_jump_times(
+            jumps_dev = (jumps_dev, attention_to_jump_times(
                 probs_f32[rows_c], opts.median_filter_width,
                 n_tokens[rows_c], dtw_j[rows_c], full_frames=False))
+    seqs, ngen, score, no_sp, jumps = jax.device_get(
+        (res.sequences, res.num_generated, score_dev,
+         res.no_speech_probs, jumps_dev))
+    jump_times = None
+    if jumps is not None:
+        if crop is not None:                  # mixed full/cropped batch
+            jumps, jumps_c = np.array(jumps[0]), jumps[1]
             jumps[crop] = jumps_c[:len(crop)]
         jump_times = jumps.astype(np.float32) * opts.time_precision
-    return (np.asarray(res.sequences), np.asarray(res.num_generated),
-            score, is_normalized, np.asarray(res.no_speech_probs),
-            jump_times)
+    return seqs, ngen, score, is_normalized, no_sp, jump_times
 
 
 def generate(params: Any, arch: WhisperArch, specials: SpecialTokens,
